@@ -1,0 +1,970 @@
+"""Driver-facing query catalog: one entry per operator family of
+SURVEY.md §2, each as a (spark, sf_dir) -> DataFrame callable plus (where
+SQL-expressible) a DuckDB oracle SQL string over the pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+
+Cross-engine hash-match rules applied throughout:
+  * every computed column is aliased identically on both sides;
+  * counts stay BIGINT on both sides (DuckDB SUM(int) is HUGEINT ->
+    explicit CAST AS BIGINT);
+  * money sums go through DECIMAL(18,2) on BOTH sides (exact), then cast
+    to DOUBLE for schema parity;
+  * score/ratio doubles are rounded (4-6 dp) AFTER aggregation so float
+    summation-order noise collapses identically;
+  * row_number ranks cast to INT on both sides;
+  * any LIMIT is preceded by a total order with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from alertsage_spark.index.build import build_index
+from alertsage_spark.operators import dedup, similarity, textstats
+from alertsage_spark.query.bm25 import bm25_topk
+from alertsage_spark.query.refqueries import REFERENCE_QUERIES, queries_df
+from alertsage_spark.tokenizer import duckdb_tokens_sql, tokenize_col
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Full-text engine (SURVEY §2.9/§4.2 — the north-rule core)
+# =====================================================================
+
+_TOKS = duckdb_tokens_sql("text")
+_TOKS_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+doclen AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclen),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY term, doc_id
+),
+termstats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM postings GROUP BY term
+)
+"""
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bm25_oracle_sql(k: int = 10) -> str:
+    values = ",\n    ".join(
+        f"({_sql_quote(cid)}, {_sql_quote(text)})" for cid, _l, text in REFERENCE_QUERIES
+    )
+    qtoks = duckdb_tokens_sql("query_text")
+    return f"""
+WITH {_TOKS_CTE},
+queries(query_id, query_text) AS (VALUES
+    {values}
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM queries
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+            * (p.tf * (1.2 + 1.0))
+            / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN termstats s USING (term)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS "rank"
+  FROM scored
+)
+SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
+@register("ft_bm25_topk_refqueries", _bm25_oracle_sql(10))
+def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: BM25 top-10 for the 18 reference scenario queries
+    (SURVEY §2.9 M1/M4, §2.6 T3)."""
+    index = build_index(tbl(spark, sf_dir, "documents"))
+    return bm25_topk(index, queries_df(spark), k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@register(
+    "ft_term_df_top20",
+    f"""
+WITH {_TOKS_CTE}
+SELECT term, df, cf FROM termstats
+ORDER BY df DESC, term ASC LIMIT 20
+""",
+)
+def ft_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency aggregation (SURVEY §2.4 A11 — the IDF step)."""
+    index = build_index(tbl(spark, sf_dir, "documents"))
+    return index.termstats.orderBy(F.desc("df"), F.asc("term")).limit(20)
+
+
+@register(
+    "ft_doclen",
+    f"WITH {_TOKS_CTE} SELECT doc_id, CAST(dl AS BIGINT) AS dl FROM doclen",
+)
+def ft_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token length (tokenizer parity across engines)."""
+    index = build_index(tbl(spark, sf_dir, "documents"))
+    return index.doclen.select("doc_id", F.col("dl").cast("long").alias("dl"))
+
+
+@register(
+    "ft_corpus_stats",
+    f"""
+WITH {_TOKS_CTE}
+SELECT CAST((SELECT count(*) FROM doclen) AS BIGINT) AS n_docs,
+       round((SELECT avg(dl) FROM doclen), 6) AS avgdl,
+       CAST((SELECT count(*) FROM termstats) AS BIGINT) AS n_terms,
+       CAST((SELECT count(*) FROM postings) AS BIGINT) AS n_postings
+""",
+)
+def ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = build_index(tbl(spark, sf_dir, "documents"))
+    n_terms, n_postings = (
+        index.termstats.agg(
+            F.count("*").alias("t"), F.sum("df").alias("p")
+        ).collect()[0]
+    )
+    return spark.createDataFrame(
+        [(index.n_docs, round(index.avgdl, 6), n_terms, n_postings)],
+        "n_docs long, avgdl double, n_terms long, n_postings long",
+    )
+
+
+@register(
+    "ft_fingerprint",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+FROM toks
+""",
+)
+def ft_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (SURVEY §2.8 F17 upgraded)."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", textstats.fingerprint_col(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "ft_sha256_fidelity",
+    "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+)
+def ft_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row corpus fidelity: sha2(content, 256)."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+@register(
+    "ft_token_count_bpeish",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT)
+         AS n_bpeish
+FROM documents
+""",
+)
+def ft_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (training-data pipeline op)."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", textstats.bpeish_token_count_col(F.col("text")).cast("long").alias("n_bpeish")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(_sql_quote(w) for w in textstats.LANG_SIGNALS[lang])
+    return f"CAST(len(list_intersect(t, [{words}])) AS INT) AS {lang}_hits"
+
+
+@register(
+    "ft_lang_signals",
+    f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents)
+SELECT doc_id, {_lang_hits_sql('de')}, {_lang_hits_sql('en')},
+       {_lang_hits_sql('es')}, {_lang_hits_sql('fr')}
+FROM toks
+""",
+)
+def ft_lang_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID stopword-signal features (training-data pipeline op).
+
+    Note array_intersect/list_intersect count DISTINCT matched signal
+    words on both engines (dedup via list_distinct on the DuckDB side).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokenize_col(F.col("text")))
+    cols = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in textstats.LANG_SIGNALS[lang]]))
+        )
+        .cast("int")
+        .alias(f"{lang}_hits")
+        for lang in ["de", "en", "es", "fr"]
+    ]
+    return docs.select("doc_id", *cols)
+
+
+@register(
+    "ft_lang_guess",
+    f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+hits AS (
+  SELECT doc_id,
+    len(list_intersect(t, [{', '.join(_sql_quote(w) for w in textstats.LANG_SIGNALS['de'])}])) AS de,
+    len(list_intersect(t, [{', '.join(_sql_quote(w) for w in textstats.LANG_SIGNALS['en'])}])) AS en,
+    len(list_intersect(t, [{', '.join(_sql_quote(w) for w in textstats.LANG_SIGNALS['es'])}])) AS es,
+    len(list_intersect(t, [{', '.join(_sql_quote(w) for w in textstats.LANG_SIGNALS['fr'])}])) AS fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM hits
+""",
+)
+def ft_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over distinct-token stopword signals;
+    deterministic tie-break = smallest language code."""
+    docs = tbl(spark, sf_dir, "documents")
+    # distinct tokens to match list_intersect semantics
+    guess = textstats.lang_id_guess(F.col("text"))
+    return docs.select("doc_id", guess.alias("lang_guess"))
+
+
+@register(
+    "ft_quality",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+  CASE WHEN len(t) > 0
+       THEN round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+       ELSE 0.0 END AS uniq_ratio,
+  CASE WHEN len(t) > 0
+       THEN round(CAST(len(list_filter(t, x -> list_contains(
+            [{', '.join(_sql_quote(w) for w in textstats.EN_STOPWORDS)}], x)))
+            AS DOUBLE) / len(t), 4)
+       ELSE 0.0 END AS stopword_ratio
+FROM toks
+""",
+)
+def ft_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (training-data pipeline op; generalizes
+    /root/reference/ui_premium.py:1484-1538 complexity metrics)."""
+    docs = tbl(spark, sf_dir, "documents")
+    out = textstats.quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "uniq_ratio",
+        "stopword_ratio",
+    )
+
+
+# =====================================================================
+# Dedup + similarity (training-data pipeline ops)
+# =====================================================================
+
+
+@register(
+    "dedup_exact_stats",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dup_rows
+FROM documents
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (SURVEY §2.7 U3 upgraded)."""
+    docs = dedup.with_content_hash(tbl(spark, sf_dir, "documents"), "text")
+    return docs.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("content_sha256").alias("n_unique"),
+        (F.count("*") - F.countDistinct("content_sha256")).alias("n_dup_rows"),
+    )
+
+
+@register("dedup_minhash_candidates")  # rows-only: xxhash64 not in DuckDB
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle -> minhash -> band
+    bucket join). Weaker rows-only driver check; exactness is covered by
+    tests/test_dedup.py against a brute-force Jaccard oracle."""
+    return dedup.minhash_lsh_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("dedup_simhash_pairs")  # rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (bucketed Hamming join)."""
+    return dedup.simhash_dup_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("dedup_jaccard_verified")  # rows-only
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification of MinHash candidates."""
+    docs = tbl(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    return dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text", threshold=0.5)
+
+
+_DOT_SQL = (
+    "round(list_sum(list_transform(list_zip(q.embedding, e.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 5)"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_DOT_SQL} AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (SURVEY §2.9 M3/M4, §2.6 T3). Vectors are
+    L2-normalized so dot == cosine."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_topk(emb, list(qvec), k=10)
+
+
+@register("sim_ann_lsh_topk")  # rows-only: approximate by construction
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (the scale path; recall vs brute force
+    is asserted in tests/test_similarity.py)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.lsh_ann_topk(emb, list(qvec), k=10)
+
+
+@register("sim_dup_pairs")  # rows-only
+def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (reference M5: sim >= 0.90,
+    /root/reference/src/triage/embeddings.py:147-164)."""
+    return similarity.embedding_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.90)
+
+
+# =====================================================================
+# Relational operators (SURVEY §2.2-§2.8) over the TPC-H-ish views
+# =====================================================================
+
+
+@register(
+    "rel_filter_eq",
+    "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'",
+)
+def rel_filter_eq(spark, sf_dir):
+    """Equality predicate (P2)."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "rel_filter_range",
+    """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+GROUP BY l_returnflag
+""",
+)
+def rel_filter_range(spark, sf_dir):
+    """Numeric range predicate (P3) + decimal-exact SUM."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(10, 20))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "rel_filter_dates",
+    """
+SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+def rel_filter_dates(spark, sf_dir):
+    """Temporal range predicate (P4)."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_filter_like",
+    "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%gear%'",
+)
+def rel_filter_like(spark, sf_dir):
+    """LIKE substring search (P5)."""
+    return (
+        tbl(spark, sf_dir, "part").filter(F.col("p_name").contains("gear")).select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "rel_filter_inlist",
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY c_mktsegment
+""",
+)
+def rel_filter_inlist(spark, sf_dir):
+    """IN-list predicate (P6)."""
+    return (
+        tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_filter_compound",
+    """
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 50000 AND 200000
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+""",
+)
+def rel_filter_compound(spark, sf_dir):
+    """Dynamic conjunctive filter composition (P7)."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_totalprice").between(50000, 200000)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+@register(
+    "rel_join_left",
+    """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def rel_join_left(spark, sf_dir):
+    """LEFT OUTER equi-join (J1); small side auto-broadcast."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_join_chain",
+    """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS cnt
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def rel_join_chain(spark, sf_dir):
+    """Inner equi-join chain through dims (J2); both dims broadcast."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_join_semi",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_customers_with_orders
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def rel_join_semi(spark, sf_dir):
+    """Left-semi join (J3 — EXISTS/dedup-for-free idiom)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@register(
+    "rel_join_anti",
+    """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def rel_join_anti(spark, sf_dir):
+    """Left-anti join (U1 relational form — NOT EXISTS)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "rel_join_topk",
+    """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+)
+def rel_join_topk(spark, sf_dir):
+    """Join + ORDER BY + LIMIT (J4/T1); compiles to TakeOrderedAndProject."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rel_agg_label_counts",
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+""",
+)
+def rel_agg_label_counts(spark, sf_dir):
+    """GROUP BY count facets (A1)."""
+    return tbl(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "rel_agg_count_avg",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def rel_agg_count_avg(spark, sf_dir):
+    """GROUP BY count + avg (A2)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "rel_agg_minmax",
+    """
+SELECT min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders
+""",
+)
+def rel_agg_minmax(spark, sf_dir):
+    """Global MIN/MAX (A3) — raw values, no float arithmetic."""
+    return tbl(spark, sf_dir, "orders").agg(
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "rel_agg_conditional",
+    """
+SELECT CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS high_ratio
+FROM orders
+""",
+)
+def rel_agg_conditional(spark, sf_dir):
+    """Conditional aggregation (A6 — high/low-confidence style counters)."""
+    high = F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+    return tbl(spark, sf_dir, "orders").agg(
+        high.cast("long").alias("n_high"),
+        F.round(high.cast("double") / F.count("*"), 4).alias("high_ratio"),
+    )
+
+
+@register(
+    "rel_agg_multikey",
+    """
+SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY CAST(ts AS DATE), event_type
+""",
+)
+def rel_agg_multikey(spark, sf_dir):
+    """Multi-key GROUP BY timeline (A7)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_agg_banding",
+    """
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'critical'
+            WHEN o_totalprice >= 150000 THEN 'high'
+            WHEN o_totalprice >= 50000 THEN 'medium'
+            ELSE 'low' END AS band,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1
+""",
+)
+def rel_agg_banding(spark, sf_dir):
+    """Histogram/banding aggregation (A12, F13 severity bands)."""
+    band = (
+        F.when(F.col("o_totalprice") >= 300000, "critical")
+        .when(F.col("o_totalprice") >= 150000, "high")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("low")
+    )
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(band.alias("band"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_agg_rollup",
+    """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS cnt
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def rel_agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (§2.4 bonus — free in Spark)."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_agg_distinct",
+    """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_agg_distinct(spark, sf_dir):
+    """COUNT DISTINCT per group (A10-style set aggregation)."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@register(
+    "rel_window_topk_group",
+    """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         CAST(row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+""",
+)
+def rel_window_topk_group(spark, sf_dir):
+    """row_number window rank, top-n per group (§2.5)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        tbl(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", F.row_number().over(w).cast("int").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "rel_window_running",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+FROM lineitem WHERE l_orderkey < 1000
+""",
+)
+def rel_window_running(spark, sf_dir):
+    """Running-sum window (§2.5) — decimal-exact accumulation."""
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").alias("run_qty"),
+        )
+    )
+
+
+@register(
+    "rel_window_lag",
+    """
+SELECT user_id, event_id,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events WHERE user_id < 50
+""",
+)
+def rel_window_lag(spark, sf_dir):
+    """lag() window (§2.5 recency analysis) with a total order tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", F.lag("value").over(w).alias("prev_value"))
+    )
+
+
+@register(
+    "rel_time_window",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+""",
+)
+def rel_time_window(spark, sf_dir):
+    """Tumbling 1-hour event-time aggregation (§2.10 batch analog of the
+    reference's 7d/30d trend windows, /root/reference/ui_premium.py:3923)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_setops",
+    """
+SELECT
+  CAST((SELECT count(*) FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS BIGINT) AS n_union,
+  CAST((SELECT count(*) FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS BIGINT) AS n_intersect,
+  CAST((SELECT count(*) FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS BIGINT) AS n_except
+""",
+)
+def rel_setops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT (§2.7)."""
+    c = tbl(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return spark.createDataFrame(
+        [
+            (
+                a.union(b).distinct().count(),
+                a.intersect(b).count(),
+                a.exceptAll(b).distinct().count(),
+            )
+        ],
+        "n_union long, n_intersect long, n_except long",
+    )
+
+
+@register(
+    "rel_distinct_pairs",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def rel_distinct_pairs(spark, sf_dir):
+    """DISTINCT projection (U3)."""
+    return tbl(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@register(
+    "rel_scalar_strfuncs",
+    """
+SELECT doc_id, substr(text, 1, 40) AS preview, upper(lang) AS lang_uc,
+       round(n_chars / 100.0, 2) AS chars_ratio
+FROM documents
+""",
+)
+def rel_scalar_strfuncs(spark, sf_dir):
+    """String/math scalar functions (P1, F8, F10)."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("preview"),
+        F.upper("lang").alias("lang_uc"),
+        F.round(F.col("n_chars") / 100.0, 2).alias("chars_ratio"),
+    )
+
+
+@register(
+    "rel_json_extract",
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1
+""",
+)
+def rel_json_extract(spark, sf_dir):
+    """JSON field extraction (F14/F15 — JSON-in-TEXT columns)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.get_json_object("props", "$.k").cast("int").alias("k_val"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_date_arith",
+    """
+SELECT CAST(month(o_orderdate) AS INTEGER) AS mth, CAST(count(*) AS BIGINT) AS cnt
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY 1
+""",
+)
+def rel_date_arith(spark, sf_dir):
+    """Date extraction + temporal windowing (F9)."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-02-01 00:00:00").cast("timestamp"),
+                F.lit("1996-12-31 00:00:00").cast("timestamp"),
+            )
+        )
+        .groupBy(F.month("o_orderdate").cast("int").alias("mth"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "rel_topk_most_common",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+ORDER BY cnt DESC, event_type ASC LIMIT 5
+""",
+)
+def rel_topk_most_common(spark, sf_dir):
+    """most_common(n) (T4)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+@register(
+    "rel_regexp_extract",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+[0-9]+')) AS BIGINT) AS n_alnum_idents
+FROM documents
+""",
+)
+def rel_regexp_extract(spark, sf_dir):
+    """regexp findall counting (F3/F5 IOC/MITRE-extraction style)."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_alnum_idents"),
+    )

@@ -1,0 +1,245 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Upgrades the reference's embedding-threshold duplicate check
+(/root/reference/src/triage/embeddings.py:147-164, sim >= 0.90) and its
+md5 content cache key (/root/reference/ui_premium.py:1320-1323) to the
+standard corpus-dedup suite, each designed to scale:
+
+  * exact_dedup            — sha256 hash-groupBy; one shuffle on the hash,
+                             map-side combine makes it skew-proof.
+  * minhash_lsh_pairs      — shingles -> minhash signatures -> LSH bands;
+                             candidate pairs come from a self-join on
+                             (band_id, band_hash) buckets, NEVER an all-
+                             pairs crossJoin, so cost is O(sum of bucket^2)
+                             not O(n^2) — the property that survives 100x.
+  * simhash_buckets        — 64-bit simhash; near-dups collide on rotated
+                             prefix buckets (Hamming-ball probing).
+  * ngram_jaccard_pairs    — exact Jaccard verification over candidate
+                             pairs (used to confirm MinHash candidates).
+  * embedding_dup_pairs    — cosine >= threshold via LSH sign-buckets over
+                             the embeddings table (see similarity.py).
+
+Everything is hash arithmetic on JVM-side expressions (xxhash64 + bit
+ops) — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alertsage_spark.tokenizer import tokenize_col
+
+
+def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """North-rule per-row fidelity column: sha2(content, 256)."""
+    return df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact content hash.
+
+    groupBy(hash) with min(id) — partial aggregation map-side, then one
+    shuffle of (hash, min_id) pairs only.
+    """
+    h = with_content_hash(df, text_col)
+    keep = h.groupBy("content_sha256").agg(F.min(id_col).alias(id_col))
+    return h.join(keep, ["content_sha256", id_col], "left_semi").drop("content_sha256")
+
+
+def shingles_col(text_col, n: int = 3):
+    """Word n-gram shingles of the tokenized text (array<string>)."""
+    toks = tokenize_col(text_col)
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingles, num_hashes: int = 32):
+    """num_hashes minhash values as array<long>, via seeded xxhash64 of
+    each shingle (h_i(s) = xxhash64(s, seed=i)); min per seed.
+
+    All JVM expressions: transform + array_min over the shingle array.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, n_bands_matched).
+
+    rows/band = num_hashes // bands; a pair is a candidate if any band's
+    hash-slice matches exactly. The self-join runs on (band_id, band_hash)
+    buckets, so the shuffle key spreads across bands x hash space.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage).
+
+    Joins the shingle sets back onto (id_a, id_b) and computes
+    |A∩B| / |A∪B| with array_intersect/array_union — JVM-side.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash of the token multiset, as a long.
+
+    For each token t: h = xxhash64(t); each bit votes +1/-1; the sign of
+    the per-bit vote sum forms the fingerprint. Implemented with
+    aggregate() over a per-token bit-vector — all JVM expressions.
+    """
+    toks = tokenize_col(text_col)
+    # per-bit vote sums: aggregate tokens into an array<int> of length `bits`
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.getbit(F.xxhash64(t), i) * 2 - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fold sign bits into a long (bit 63 = the two's-complement sign bit)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long")
+        )
+    return sim
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash, bucket) — near-dups with small Hamming distance
+    collide on at least one of the 4 rotated prefix buckets (standard
+    multi-probe trick); callers self-join on bucket."""
+    sh = df.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash"))
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rot"),
+                F.shiftright(
+                    F.shiftleft("simhash", r * prefix_bits).bitwiseOR(
+                        F.shiftrightunsigned("simhash", 64 - r * prefix_bits) if r else F.lit(0).cast("long")
+                    ),
+                    64 - prefix_bits,
+                ).alias("bucket"),
+            )
+            for r in range(4)
+        ]
+    )
+    return sh.select("doc_id", "simhash", F.explode(probes).alias("p")).select(
+        "doc_id", "simhash", "p.rot", "p.bucket"
+    )
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: bucket join + Hamming verify."""
+    b = simhash_buckets(df, id_col, text_col)
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.rot") == F.col("y.rot"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,99 @@
+"""Tokenizer spec parity: Spark SQL expr == pandas UDF == pure Python ==
+DuckDB SQL, plus the reference's normalizer properties
+(/root/reference/tests/test_preprocess.py: lowercase 8-17, empties 28-37,
+idempotence 40-44) re-targeted at the tokenizer."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from alertsage_spark.tokenizer import (
+    duckdb_tokens_sql,
+    tokenize_col,
+    tokenize_pandas_udf,
+    tokenize_py,
+)
+
+CASES = [
+    "User received an email claiming to be from IT asking them to verify",
+    "parseConfig HTTPServerFactory read_buffer max_retry_count2",
+    "camelCaseWord snake_case_word UPPERCASE lowercase MixedUPPERLower",
+    "x y z a1 2abc _leading __dunder__ trailing_ a_b",
+    "",
+    "   ",
+    "1234 5678 !!! ###",
+    "URLs like https://example.com/path?q=1 and IPs 10.0.0.1",
+    "ends with single letter a",
+    "HTTPSConnectionPool XMLHttpRequest IOError",
+]
+
+
+def test_python_basic():
+    assert tokenize_py("fooBar baz_qux") == ["foo", "bar", "baz", "qux"]
+    assert tokenize_py("HTTPServer") == ["http", "server"]
+    assert tokenize_py("") == []
+    assert tokenize_py(None) == []
+    assert tokenize_py("a") == []  # single chars dropped
+    assert tokenize_py("1abc") == ["abc"]  # must start with a letter
+
+
+def test_code_mode_trigrams():
+    toks = tokenize_py("parseConfig", mode="code")
+    assert "parse" in toks and "config" in toks
+    assert "#par" in toks and "#ars" in toks and "#rse" in toks
+    assert "#con" in toks and "#fig" in toks
+    # tokens shorter than 4 chars get no trigrams
+    assert all(not t.startswith("#") for t in tokenize_py("ab cde", mode="code"))
+
+
+def test_idempotence_on_rejoined_tokens():
+    # reference property: clean(clean(x)) == clean(x)
+    for s in CASES:
+        once = tokenize_py(s)
+        again = tokenize_py(" ".join(once))
+        assert once == again
+
+
+@pytest.mark.parametrize("mode", ["text", "code"])
+def test_spark_sql_expr_matches_python(spark, mode):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)], "id int, s string")
+    got = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tokenize_col(F.col("s"), mode=mode).alias("toks")).collect()
+    }
+    for i, s in enumerate(CASES):
+        assert got[i] == tokenize_py(s, mode=mode), f"case {i}: {s!r}"
+
+
+@pytest.mark.parametrize("mode", ["text", "code"])
+def test_pandas_udf_matches_python(spark, mode):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)], "id int, s string")
+    tok = tokenize_pandas_udf(mode=mode)
+    got = {r["id"]: r["toks"] for r in df.select("id", tok("s").alias("toks")).collect()}
+    for i, s in enumerate(CASES):
+        assert got[i] == tokenize_py(s, mode=mode), f"case {i}: {s!r}"
+
+
+def test_duckdb_sql_matches_python():
+    con = duckdb.connect()
+    frag = duckdb_tokens_sql("s")
+    for s in CASES:
+        got = con.execute(f"SELECT {frag} FROM (SELECT ? AS s)", [s]).fetchone()[0]
+        assert got == tokenize_py(s), f"{s!r}"
+
+
+def test_spark_plan_has_no_python_udf_for_sql_expr(spark):
+    df = spark.createDataFrame([("fooBar",)], "s string")
+    plan = df.select(tokenize_col(F.col("s")).alias("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # fully JVM-side
+
+
+def test_pandas_udf_is_arrow_not_batch(spark):
+    tok = tokenize_pandas_udf()
+    df = spark.createDataFrame([("fooBar",)], "s string")
+    plan = df.select(tok("s").alias("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
