@@ -1,0 +1,166 @@
+"""Posting-list compression: docID-delta + varbyte, block-max metadata.
+
+The reference's sparse representation is a scipy CSR TF-IDF matrix
+(>99% zeros, /root/reference/notebooks/02 cell 16;
+/root/reference/src/triage/cli.py:1234-1246). The engine's analog is the
+classic IR posting-list format (public literature: varbyte a la Scholer
+et al., block-max metadata a la Ding & Suel's Block-Max WAND):
+
+  * doc_ids sorted ascending, delta-encoded (first value absolute),
+    then varbyte: little-endian 7-bit groups, high bit = continuation.
+  * term frequencies varbyte'd alongside.
+  * fixed-size blocks (BLOCK_SIZE postings); per block we keep
+    (last_doc_id, max_norm, byte offsets) where
+    max_norm = max over block of (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl))
+    — the idf-free part of the BM25 term score, so the query-time upper
+    bound for a term's block is idf(term) * max_norm (idf is per-term,
+    applied at query time; avgdl is a build-time global scalar).
+
+All encode/decode paths are numpy-vectorized (no per-value Python loops)
+because they run inside Arrow-batched UDFs on the executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+K1 = 1.2
+B = 0.75
+
+
+# ------------------------------------------------------------- varbyte
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int64/uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+    ngroups = np.maximum(nbits, 1)
+    total = int(ngroups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    # fill each group position g (g < max groups)
+    max_g = int(ngroups.max())
+    for g in range(max_g):
+        mask = ngroups > g
+        pos = starts[mask] + g
+        vals = (v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (ngroups[mask] - 1 > g).astype(np.uint8) << 7
+        out[pos] = vals.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode -> uint64 array."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    # group index of each byte: 0,1,2.. within its value
+    # starts: first byte of each value = byte after a last-byte (or index 0)
+    starts = np.empty(b.shape, dtype=bool)
+    starts[0] = True
+    starts[1:] = is_last[:-1]
+    start_idx = np.flatnonzero(starts)
+    grp_pos = np.arange(b.size) - np.repeat(start_idx, np.diff(np.append(start_idx, b.size)))
+    vals = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * grp_pos.astype(np.uint64))
+    return np.add.reduceat(vals, start_idx)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    d = np.asarray(sorted_ids, dtype=np.uint64).copy()
+    d[1:] = d[1:] - d[:-1]
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.uint64), dtype=np.uint64)
+
+
+# -------------------------------------------------------------- blocks
+def bm25_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """(k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)) — float64."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
+) -> dict:
+    """Encode one term's postings (sorted by doc_id) into compressed
+    blocks + block-max metadata.
+
+    Returns dict with: doc_bytes, tf_bytes, block_last_docs (list[int]),
+    block_max_norms (list[float]), block_doc_offsets, block_tf_offsets
+    (byte offset of each block's start), n_postings.
+
+    doc_ids must fit uint63 (we store raw int64 ids; negative ids are
+    rejected — the builder hashes ids into the non-negative range).
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    if doc_ids.size and doc_ids[0] < 0:
+        raise ValueError("doc_ids must be non-negative")
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    dls = np.asarray(dls, dtype=np.int64)[order]
+    n = doc_ids.size
+    norms = bm25_norm(tfs, dls, avgdl) if n else np.empty(0)
+    doc_chunks: list[bytes] = []
+    tf_chunks: list[bytes] = []
+    last_docs: list[int] = []
+    max_norms: list[float] = []
+    doc_offsets: list[int] = [0]
+    tf_offsets: list[int] = [0]
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        blk_docs = doc_ids[s:e]
+        doc_chunks.append(varbyte_encode(delta_encode(blk_docs.astype(np.uint64))))
+        tf_chunks.append(varbyte_encode(tfs[s:e].astype(np.uint64)))
+        last_docs.append(int(blk_docs[-1]))
+        max_norms.append(float(norms[s:e].max()))
+        doc_offsets.append(doc_offsets[-1] + len(doc_chunks[-1]))
+        tf_offsets.append(tf_offsets[-1] + len(tf_chunks[-1]))
+    return {
+        "doc_bytes": b"".join(doc_chunks),
+        "tf_bytes": b"".join(tf_chunks),
+        "block_last_docs": last_docs,
+        "block_max_norms": max_norms,
+        "block_doc_offsets": doc_offsets,  # len = n_blocks + 1
+        "block_tf_offsets": tf_offsets,
+        "n_postings": int(n),
+    }
+
+
+def decode_posting_list(row: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_posting_list -> (doc_ids int64, tfs int64)."""
+    doc_ids = []
+    tfs = []
+    do = row["block_doc_offsets"]
+    to = row["block_tf_offsets"]
+    db, tb = row["doc_bytes"], row["tf_bytes"]
+    for i in range(len(do) - 1):
+        deltas = varbyte_decode(db[do[i] : do[i + 1]])
+        doc_ids.append(delta_decode(deltas).astype(np.int64))
+        tfs.append(varbyte_decode(tb[to[i] : to[i + 1]]).astype(np.int64))
+    if not doc_ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(doc_ids), np.concatenate(tfs)
+
+
+def decode_block(row: dict, block_idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block (for WAND skipping)."""
+    do, to = row["block_doc_offsets"], row["block_tf_offsets"]
+    deltas = varbyte_decode(row["doc_bytes"][do[block_idx] : do[block_idx + 1]])
+    tfs = varbyte_decode(row["tf_bytes"][to[block_idx] : to[block_idx + 1]])
+    return delta_decode(deltas).astype(np.int64), tfs.astype(np.int64)

@@ -1,0 +1,100 @@
+"""Segment build, manifest checkpoint/resume, and compressed-index
+integrity (north-rule gates: resume from last committed segment manifest;
+sum(tf) per doc == doc length; postings sorted & delta-decodable)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from alertsage_spark.index.build import build_index
+from alertsage_spark.index.compress import decode_posting_list
+from alertsage_spark.index.segments import build_segments, load_index
+
+N_SHARDS = 8
+N_GROUPS = 4
+
+
+@pytest.fixture()
+def docs(documents_df):
+    return documents_df.select("doc_id", "text")
+
+
+def _build(spark, docs, d, **kw):
+    return build_segments(
+        spark, docs, str(d), n_shards=N_SHARDS, n_groups=N_GROUPS, **kw
+    )
+
+
+def _index_fingerprint(spark, d):
+    """Order-insensitive content hash over all segment rows."""
+    idx = load_index(spark, str(d))
+    rows = idx.segments.select(
+        "shard_id", "term", "n_postings",
+        F.md5(F.base64("doc_bytes")).alias("dh"),
+        F.md5(F.base64("tf_bytes")).alias("th"),
+        F.col("block_last_docs").cast("string").alias("bl"),
+    ).collect()
+    return sorted((r["shard_id"], r["term"], r["n_postings"], r["dh"], r["th"], r["bl"]) for r in rows)
+
+
+def test_build_and_integrity(spark, docs, tmp_path):
+    d = tmp_path / "idx"
+    out = _build(spark, docs, d)
+    assert len(out["metrics"]) == N_GROUPS
+    idx = load_index(spark, str(d))
+
+    # postings count == uncompressed relational index
+    rel = build_index(docs, "doc_id", "text")
+    n_seg_postings = idx.segments.agg(F.sum("n_postings")).collect()[0][0]
+    n_rel_postings = rel.postings.count()
+    assert n_seg_postings == n_rel_postings
+
+    # per-term df: sum of shard-local df == global termstats df
+    seg_df = idx.segments.groupBy("term").agg(F.sum("df_local").alias("df_seg"))
+    joined = seg_df.join(idx.termstats, "term")
+    assert joined.filter(F.col("df_seg") != F.col("df")).count() == 0
+
+    # decode every posting list: sorted doc_ids; sum(tf) per doc == dl
+    rows = idx.segments.collect()
+    tf_by_doc: dict[int, int] = {}
+    for r in rows:
+        doc_ids, tfs = decode_posting_list(r.asDict())
+        assert (np.diff(doc_ids) > 0).all()  # strictly ascending
+        assert len(doc_ids) == r["n_postings"]
+        for did, tf in zip(doc_ids.tolist(), tfs.tolist()):
+            tf_by_doc[did] = tf_by_doc.get(did, 0) + tf
+    dls = {r["doc_id"]: r["dl"] for r in idx.doclen.collect()}
+    for did, total in tf_by_doc.items():
+        assert total == dls[did], did
+    # docs with dl>0 all appear
+    assert set(tf_by_doc) == {d_ for d_, l in dls.items() if l > 0}
+
+
+def test_resume_after_failure_is_identical(spark, docs, tmp_path):
+    full = tmp_path / "full"
+    _build(spark, docs, full)
+
+    crashed = tmp_path / "crashed"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        _build(spark, docs, crashed, fail_after_group=2)
+    # resume completes only the missing groups
+    out = _build(spark, docs, crashed, resume=True)
+    assert len(out["metrics"]) == N_GROUPS - 2
+
+    assert _index_fingerprint(spark, crashed) == _index_fingerprint(spark, full)
+
+
+def test_manifest_metrics(spark, docs, tmp_path):
+    d = tmp_path / "m"
+    _build(spark, docs, d)
+    man = spark.read.parquet(str(d / "manifest"))
+    rows = man.collect()
+    assert len(rows) == N_GROUPS
+    for r in rows:
+        assert r["n_docs"] > 0 and r["n_postings"] > 0
+        assert r["docs_per_sec"] > 0
+        assert r["doc_bytes"] > 0 and r["tf_bytes"] > 0
+    # lineage covers the whole corpus exactly once
+    assert sum(r["n_docs"] for r in rows) == docs.count()

@@ -1,0 +1,68 @@
+"""Rank-identity of the compressed-index scorers (block-max WAND and
+vectorized TAAT) vs the Python oracle AND the exact join+agg path —
+the north rule's brute-force == WAND property."""
+
+from __future__ import annotations
+
+import pytest
+
+from alertsage_spark.index.segments import build_segments, load_index
+from alertsage_spark.query.oracle import BM25Oracle
+from alertsage_spark.query.refqueries import REFERENCE_QUERIES
+from alertsage_spark.query.wand import wand_topk
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, documents_df, tmp_path_factory):
+    d = tmp_path_factory.mktemp("wandidx") / "idx"
+    build_segments(
+        spark, documents_df.select("doc_id", "text"), str(d), n_shards=8, n_groups=2
+    )
+    return load_index(spark, str(d))
+
+
+@pytest.fixture(scope="module")
+def doc_oracle(documents_df):
+    rows = documents_df.select("doc_id", "text").collect()
+    return BM25Oracle([(r["doc_id"], r["text"]) for r in rows])
+
+
+def _collect(df):
+    out: dict[str, list] = {}
+    for r in sorted(df.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["rank"]))
+    return out
+
+
+QUERIES = [(cid, text) for cid, _l, text in REFERENCE_QUERIES] + [
+    ("VOCAB_1", "data stream merge join window"),
+    ("VOCAB_2", "spark query filter"),
+    ("VOCAB_3", "the the the"),
+    ("EMPTY", "zzz qqq notindocs"),
+]
+
+
+@pytest.mark.parametrize("algo", ["wand", "taat"])
+def test_rank_identity_vs_oracle(spark, seg_index, doc_oracle, algo):
+    got = _collect(wand_topk(spark, seg_index, QUERIES, k=K, algo=algo))
+    for qid, text in QUERIES:
+        expected = doc_oracle.topk(text, k=K)
+        hits = got.get(qid, [])
+        assert [h[0] for h in hits] == [e[0] for e in expected], (algo, qid)
+        for h, e in zip(hits, expected):
+            assert abs(h[1] - e[1]) <= 1e-6, (algo, qid, h, e)
+
+
+def test_wand_equals_taat_on_random_queries(spark, seg_index, doc_oracle):
+    import random
+
+    rng = random.Random(7)
+    vocab = list(doc_oracle.df.keys())
+    queries = [
+        (f"R{i}", " ".join(rng.sample(vocab, rng.randint(1, 6)))) for i in range(20)
+    ]
+    a = _collect(wand_topk(spark, seg_index, queries, k=5, algo="wand"))
+    b = _collect(wand_topk(spark, seg_index, queries, k=5, algo="taat"))
+    assert a == b
