@@ -95,15 +95,27 @@ def bm25_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
-def encode_posting_list(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
-) -> dict:
+def block_norm_bounds(
+    max_tfs: np.ndarray, min_dls: np.ndarray, avgdl: float
+) -> np.ndarray:
+    """Query-time per-block upper bound on the BM25 tf-norm.
+
+    norm(tf, dl) is increasing in tf and decreasing in dl, so
+    norm(block_max_tf, block_min_dl) >= norm(tf_i, dl_i) for every
+    posting i in the block — a valid (slightly loose) block-max bound
+    that does NOT bake avgdl into the stored index, letting the build run
+    in a single pass with no global-stats barrier."""
+    return bm25_norm(np.asarray(max_tfs), np.asarray(min_dls), avgdl)
+
+
+def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
     """Encode one term's postings (sorted by doc_id) into compressed
     blocks + block-max metadata.
 
     Returns dict with: doc_bytes, tf_bytes, block_last_docs (list[int]),
-    block_max_norms (list[float]), block_doc_offsets, block_tf_offsets
-    (byte offset of each block's start), n_postings.
+    block_max_tfs, block_min_dls (per-block bound inputs — see
+    block_norm_bounds), block_doc_offsets, block_tf_offsets (byte offset
+    of each block's start), n_postings.
 
     doc_ids must fit uint63 (we store raw int64 ids; negative ids are
     rejected — the builder hashes ids into the non-negative range).
@@ -115,11 +127,11 @@ def encode_posting_list(
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     dls = np.asarray(dls, dtype=np.int64)[order]
     n = doc_ids.size
-    norms = bm25_norm(tfs, dls, avgdl) if n else np.empty(0)
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
     last_docs: list[int] = []
-    max_norms: list[float] = []
+    max_tfs: list[int] = []
+    min_dls: list[int] = []
     doc_offsets: list[int] = [0]
     tf_offsets: list[int] = [0]
     for s in range(0, n, BLOCK_SIZE):
@@ -128,14 +140,16 @@ def encode_posting_list(
         doc_chunks.append(varbyte_encode(delta_encode(blk_docs.astype(np.uint64))))
         tf_chunks.append(varbyte_encode(tfs[s:e].astype(np.uint64)))
         last_docs.append(int(blk_docs[-1]))
-        max_norms.append(float(norms[s:e].max()))
+        max_tfs.append(int(tfs[s:e].max()))
+        min_dls.append(int(dls[s:e].min()))
         doc_offsets.append(doc_offsets[-1] + len(doc_chunks[-1]))
         tf_offsets.append(tf_offsets[-1] + len(tf_chunks[-1]))
     return {
         "doc_bytes": b"".join(doc_chunks),
         "tf_bytes": b"".join(tf_chunks),
         "block_last_docs": last_docs,
-        "block_max_norms": max_norms,
+        "block_max_tfs": max_tfs,
+        "block_min_dls": min_dls,
         "block_doc_offsets": doc_offsets,  # len = n_blocks + 1
         "block_tf_offsets": tf_offsets,
         "n_postings": int(n),

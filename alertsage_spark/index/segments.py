@@ -2,30 +2,38 @@
 
 Physical design (for 10^12-file corpora; tested at fixture scale):
 
-  * **document-sharded**: shard_id = pmod(xxhash64-derived doc_id,
-    n_shards). Each shard holds the full term->postings map for ITS docs.
-    This defuses hot-term build skew structurally — a stop-word's
-    postings are spread across all shards instead of landing on one
-    term-partition — and lets the query side run block-max WAND per
-    shard with only a final top-k merge (queries broadcast; no doc-side
-    shuffle at query time).
-  * **segments**: one parquet row per (shard_id, term): delta+varbyte
-    doc_ids, varbyte tfs, per-block (last_doc, max_norm, offsets) —
-    see compress.py. Written sorted by term within files so parquet
-    row-group min/max stats prune term lookups.
-  * **two-pass build**: pass 1 computes global stats (doclen table,
-    avgdl, term->df via salted two-stage aggregation); pass 2 encodes
-    segments per shard-group. idf needs global df; block-max norms need
-    only the avgdl scalar, so pass 2 never broadcasts the vocabulary.
+  * **document-sharded**: shard_id = pmod(xxhash64(doc_id), n_shards).
+    Each shard holds the full term->postings map for ITS docs. This
+    defuses hot-term build skew structurally — a stop-word's postings
+    spread across all shards instead of landing on one term-partition —
+    and lets the query side run block-max WAND per shard with only a
+    final top-k merge (queries broadcast; no doc-side shuffle at query
+    time).
+  * **single-pass build**: ONE tokenize of the corpus. Block metadata
+    stores (block_max_tf, block_min_dl) instead of avgdl-baked norms, so
+    no global-stats barrier is needed before encoding — the query-time
+    bound idf * norm(max_tf, min_dl) is valid because the BM25 tf-norm
+    is increasing in tf and decreasing in dl (property-tested).
+  * **self-contained segments**: one parquet row per (shard_id, term):
+    delta+varbyte doc_ids, varbyte tfs, per-block metadata — see
+    compress.py. Each shard additionally stores ONE doclen row
+    (term=NULL) carrying its doc_id->dl arrays in the same varbyte
+    format; the scorer reads postings and doc lengths from the same
+    partition-local rows (no separate table, no cogroup). Files are
+    sorted by term so parquet row-group min/max stats prune term lookups.
+  * **global stats after commit**: n_docs/avgdl and the term->df table
+    derive from the committed segment rows (salted two-stage agg on
+    term — at most n_shards rows per term enter it, so hot terms cannot
+    skew a reducer).
   * **manifest checkpoint/resume** (the Spark-native analog of the
-    reference's chunked generator checkpoint
+    reference's chunked generator checkpoint,
     /root/reference/generator/generate_cyber_incidents.py:2779-3047:
     JSON {last_completed_event, chunks_written} + append resume):
     shards are processed in groups; each group commits its parquet
     directory THEN appends a manifest row with lineage + build metrics
     (n_docs, n_postings, bytes, wall_ms, docs/sec). Resume anti-joins
-    pending groups against the manifest and reprocesses only those;
-    a half-written uncommitted group directory is overwritten
+    pending groups against the manifest and reprocesses only those; a
+    half-written uncommitted group directory is overwritten
     idempotently, so the final index is byte-identical to an
     uninterrupted build (asserted in tests/test_segments.py).
 """
@@ -36,22 +44,27 @@ import json
 import os
 import time
 from dataclasses import dataclass
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alertsage_spark.index.compress import encode_posting_list
-from alertsage_spark.tokenizer import tokenize_col
+from alertsage_spark.index.compress import encode_posting_list, varbyte_encode, delta_encode
+from alertsage_spark.tokenizer import tokenize_arrow_base, vocab_trigram_mapping
 
 SEGMENT_SCHEMA = (
-    "shard_id int, term string, df_local int, n_postings long, "
+    "shard_id int, term string, df_local int, cf_local long, n_postings long, "
     "doc_bytes binary, tf_bytes binary, "
-    "block_last_docs array<long>, block_max_norms array<double>, "
+    "block_last_docs array<long>, block_max_tfs array<long>, "
+    "block_min_dls array<long>, "
     "block_doc_offsets array<int>, block_tf_offsets array<int>"
 )
+_SEG_COLS = [
+    "shard_id", "term", "df_local", "cf_local", "n_postings",
+    "doc_bytes", "tf_bytes", "block_last_docs", "block_max_tfs",
+    "block_min_dls", "block_doc_offsets", "block_tf_offsets",
+]
 
 MANIFEST_SCHEMA = (
     "build_id string, group_id int, n_shards int, n_groups int, "
@@ -74,8 +87,8 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
     @property
-    def doclen(self) -> str:
-        return os.path.join(self.root, "doclen")
+    def config_json(self) -> str:
+        return os.path.join(self.root, "build_config.json")
 
     @property
     def termstats(self) -> str:
@@ -93,112 +106,187 @@ class IndexPaths:
         return os.path.join(self.root, "manifest")
 
 
-def _salted_termstats(tokens: DataFrame, n_salts: int = 16) -> DataFrame:
-    """term -> (df, cf) via EXPLICIT two-stage salted aggregation
-    (north rule §4.2-3): partial agg on (term, salt), final on term.
-    Salt = pmod(xxhash64(doc_id), n_salts) so a hot term's partial rows
-    spread over n_salts reducers before the tiny final combine. (Spark's
-    partial aggregation gives map-side combine anyway; the explicit salt
-    guards the reduce side when one term dominates a whole stage.)"""
-    exploded = tokens.select(
-        "doc_id",
-        F.explode("toks").alias("term"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("salt"),
-    )
-    partial = exploded.groupBy("term", "salt", "doc_id").agg(F.count("*").alias("tf"))
-    per_salt = partial.groupBy("term", "salt").agg(
-        F.count("*").alias("df_p"), F.sum("tf").alias("cf_p")
-    )
-    return per_salt.groupBy("term").agg(
-        F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf")
+def salted_termstats_from_segments(segments: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Global term -> (df, cf) from the per-shard segment rows, via the
+    EXPLICIT two-stage salted aggregation on term (north rule §4.2-3):
+    partial agg on (term, salt), final combine on term.
+
+    Because the index is document-sharded, the input has AT MOST n_shards
+    rows per term — hot-term skew is defused structurally before this agg
+    even runs (a stop-word contributes n_shards partial rows, not one row
+    per posting). The salt keeps the reduce side spread even when vocab
+    is tiny relative to shards."""
+    return (
+        segments.filter(F.col("term").isNotNull())
+        .groupBy("term", F.pmod(F.col("shard_id"), F.lit(n_salts)).alias("salt"))
+        .agg(F.sum("df_local").alias("df_p"), F.sum("cf_local").alias("cf_p"))
+        .groupBy("term")
+        .agg(F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
     )
 
 
-def build_stats_pass(
-    spark: SparkSession,
-    docs: DataFrame,
-    paths: IndexPaths,
-    n_shards: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    mode: str = "text",
-) -> dict:
-    """Pass 1: doclen parquet (with shard_id), global scalars, termstats."""
-    tokens = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col), mode=mode).alias("toks")
-    )
-    doclen = tokens.select(
-        "doc_id", shard_col(F.col("doc_id"), n_shards).alias("shard_id"), F.size("toks").alias("dl")
-    )
-    doclen.write.mode("overwrite").partitionBy("shard_id").parquet(paths.doclen)
-    _salted_termstats(tokens).write.mode("overwrite").parquet(paths.termstats)
-    row = spark.read.parquet(paths.doclen).agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    stats = {
-        "n_docs": int(row["n"]),
-        "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
-        "n_shards": n_shards,
-        "mode": mode,
+def _doclen_row(shard_id: int, doc_ids: np.ndarray, dls: np.ndarray) -> dict:
+    """The shard's doclen row: term=NULL, doc ids delta+varbyte in
+    doc_bytes, lengths varbyte in tf_bytes (aligned to sorted doc order)."""
+    order = np.argsort(doc_ids, kind="stable")
+    d = doc_ids[order].astype(np.uint64)
+    l = dls[order].astype(np.uint64)
+    db = varbyte_encode(delta_encode(d))
+    tb = varbyte_encode(l)
+    return {
+        "shard_id": shard_id,
+        "term": None,
+        "df_local": int(len(d)),  # n docs in shard
+        "cf_local": int(dls.sum()),  # sum of doc lengths
+        "n_postings": int(len(d)),
+        "doc_bytes": db,
+        "tf_bytes": tb,
+        "block_last_docs": [int(doc_ids[order][-1])] if len(d) else [],
+        "block_max_tfs": [],
+        "block_min_dls": [],
+        "block_doc_offsets": [0, len(db)],
+        "block_tf_offsets": [0, len(tb)],
     }
-    tmp = paths.stats_json + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, paths.stats_json)
-    return stats
 
 
-def _segment_builder(avgdl: float):
-    """applyInPandas group fn: one shard's (doc_id, toks) -> segment rows."""
+def _segment_builder(mode: str = "text"):
+    """applyInPandas group fn: one shard's (doc_id, text) -> segment rows
+    + one doclen row.
+
+    Tokenizes INSIDE the Python worker (shared spec tokenize_py): the raw
+    text ships to the shard once and the CPU-heavy tokenize+encode path
+    runs in per-shard worker processes that scale with cores. Aggregation
+    uses factorize + integer composite keys instead of an object-dtype
+    pandas groupby: one C-speed hash pass over the token strings, then
+    pure int64 numpy — far lighter on memory bandwidth, which is what
+    actually limits per-core throughput at high parallelism."""
+
+    empty = pd.DataFrame(columns=_SEG_COLS)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
-        tok_lists = pdf["toks"].tolist()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-        if lens.sum() == 0:
-            return pd.DataFrame(
-                columns=[
-                    "shard_id", "term", "df_local", "n_postings", "doc_bytes", "tf_bytes",
-                    "block_last_docs", "block_max_norms", "block_doc_offsets", "block_tf_offsets",
-                ]
+        n_docs = len(doc_ids)
+        codes, doc_idx, vocab = tokenize_arrow_base(pdf["text"])
+        lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        comp = codes * n_docs + doc_idx
+        uk, tf = np.unique(comp, return_counts=True)  # sorted by (term, docidx)
+        term_code = uk // n_docs
+        docidx = (uk % n_docs).astype(np.int64)
+        tf = tf.astype(np.int64)
+        if mode == "code" and len(vocab):
+            # vocab-level trigram expansion over the aggregated postings:
+            # tf('#xyz', doc) = sum over terms t of tf(t, doc) * mult(xyz in t)
+            tri_vocab, tri_codes, tri_mults, tri_off = vocab_trigram_mapping(vocab)
+            n_tris = tri_off[1:] - tri_off[:-1]
+            rep = n_tris[term_code]
+            rows = np.repeat(np.arange(len(uk), dtype=np.int64), rep)
+            # slot index into tri_codes for each expanded row
+            slot = (
+                np.arange(int(rep.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(rep) - rep, rep)
+                + np.repeat(tri_off[term_code], rep)
             )
-        flat_terms = np.concatenate(
-            [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
-        )
-        flat_docs = np.repeat(doc_ids, lens)
-        flat_dls = np.repeat(lens, lens)
-        tf = (
-            pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls})
-            .groupby(["term", "doc_id", "dl"], sort=True)
-            .size()
-            .reset_index(name="tf")
-        )
-        out = []
-        for term, grp in tf.groupby("term", sort=True):
-            enc = encode_posting_list(
-                grp["doc_id"].to_numpy(),
-                grp["tf"].to_numpy(),
-                grp["dl"].to_numpy(),
-                avgdl,
-            )
+            tri_term = tri_codes[slot] + len(vocab)
+            tri_doc = docidx[rows]
+            tri_tf = tf[rows] * tri_mults[slot]
+            # doc lengths include trigram occurrences (oracle parity)
+            lens = lens + np.bincount(
+                tri_doc, weights=tri_tf.astype(np.float64), minlength=n_docs
+            ).astype(np.int64)
+            # aggregate trigram collisions across different source terms
+            comp2 = tri_term * n_docs + tri_doc
+            order2 = np.argsort(comp2, kind="stable")
+            comp2 = comp2[order2]
+            tri_tf = tri_tf[order2]
+            uk2, idx2 = np.unique(comp2, return_index=True)
+            tf2 = np.add.reduceat(tri_tf, idx2) if len(uk2) else tri_tf[:0]
+            term_code = np.concatenate((term_code, uk2 // n_docs))
+            docidx = np.concatenate((docidx, (uk2 % n_docs).astype(np.int64)))
+            tf = np.concatenate((tf, tf2))
+            vocab = np.concatenate((vocab, tri_vocab))
+            order3 = np.lexsort((docidx, term_code))
+            term_code, docidx, tf = term_code[order3], docidx[order3], tf[order3]
+        out = [_doclen_row(shard_id, doc_ids, lens)]
+        if len(uk) == 0:
+            return pd.DataFrame(out, columns=_SEG_COLS) if n_docs else empty
+        p_docs = doc_ids[docidx]
+        p_dls = lens[docidx]
+        bounds = np.flatnonzero(np.diff(term_code)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(term_code)]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            enc = encode_posting_list(p_docs[s:e], tf[s:e], p_dls[s:e])
             out.append(
                 {
                     "shard_id": shard_id,
-                    "term": term,
-                    "df_local": len(grp),
+                    "term": vocab[term_code[s]],
+                    "df_local": e - s,
+                    "cf_local": int(tf[s:e].sum()),
                     "n_postings": enc["n_postings"],
                     "doc_bytes": enc["doc_bytes"],
                     "tf_bytes": enc["tf_bytes"],
                     "block_last_docs": enc["block_last_docs"],
-                    "block_max_norms": enc["block_max_norms"],
+                    "block_max_tfs": enc["block_max_tfs"],
+                    "block_min_dls": enc["block_min_dls"],
                     "block_doc_offsets": enc["block_doc_offsets"],
                     "block_tf_offsets": enc["block_tf_offsets"],
                 }
             )
-        return pd.DataFrame(out)
+        return pd.DataFrame(out, columns=_SEG_COLS)
 
     return fn
+
+
+def decode_doclen_row(row) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted doc_ids int64, dls int64) from a term=NULL doclen row."""
+    from alertsage_spark.index.compress import varbyte_decode, delta_decode
+
+    docs = delta_decode(varbyte_decode(bytes(row["doc_bytes"]))).astype(np.int64)
+    dls = varbyte_decode(bytes(row["tf_bytes"])).astype(np.int64)
+    return docs, dls
+
+
+def _commit_group(
+    spark: SparkSession,
+    paths: IndexPaths,
+    g: int,
+    build_id: str,
+    n_shards: int,
+    n_groups: int,
+    wall_ms: float,
+    metrics: list,
+) -> None:
+    """Read back the group's written segments, append the manifest row
+    (lineage + build metrics). The manifest append IS the commit point."""
+    written = spark.read.parquet(paths.group_dir(g))
+    m = written.agg(
+        F.count(F.when(F.col("term").isNotNull(), 1)).alias("n_terms"),
+        F.sum(F.when(F.col("term").isNotNull(), F.col("n_postings"))).alias("n_postings"),
+        F.sum(F.when(F.col("term").isNull(), F.col("df_local"))).alias("n_docs"),
+        F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+        F.sum(F.length("tf_bytes")).alias("tf_bytes"),
+    ).collect()[0]
+    n_docs_g = int(m["n_docs"] or 0)
+    row = {
+        "build_id": build_id,
+        "group_id": g,
+        "n_shards": n_shards,
+        "n_groups": n_groups,
+        "n_docs": n_docs_g,
+        "n_terms": int(m["n_terms"] or 0),
+        "n_postings": int(m["n_postings"] or 0),
+        "doc_bytes": int(m["doc_bytes"] or 0),
+        "tf_bytes": int(m["tf_bytes"] or 0),
+        "wall_ms": wall_ms,
+        "docs_per_sec": n_docs_g / (wall_ms / 1000.0) if wall_ms else 0.0,
+        "postings_per_sec": int(m["n_postings"] or 0) / (wall_ms / 1000.0) if wall_ms else 0.0,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    spark.createDataFrame([row], MANIFEST_SCHEMA).write.mode("append").parquet(
+        paths.manifest
+    )
+    metrics.append(row)
 
 
 def committed_groups(spark: SparkSession, paths: IndexPaths) -> set[int]:
@@ -224,82 +312,109 @@ def build_segments(
     build_id: str = "build-0",
     fail_after_group: int | None = None,
 ) -> dict:
-    """Full checkpointed build. Returns the stats dict + metrics list.
+    """Full checkpointed single-pass build. Returns stats + metrics list.
 
     ``fail_after_group`` injects a crash for the resume test (kill after
     committing that many groups).
     """
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
-    if resume and os.path.exists(paths.stats_json):
-        with open(paths.stats_json) as f:
-            stats = json.load(f)
-        if stats.get("n_shards") != n_shards or stats.get("mode") != mode:
-            raise ValueError("resume with different n_shards/mode; wipe index_dir first")
+    config = {"n_shards": n_shards, "n_groups": n_groups, "mode": mode}
+    if resume and os.path.exists(paths.config_json):
+        with open(paths.config_json) as f:
+            prev = json.load(f)
+        if prev != config:
+            raise ValueError("resume with different build config; wipe index_dir first")
     else:
-        stats = build_stats_pass(spark, docs, paths, n_shards, id_col, text_col, mode)
+        with open(paths.config_json, "w") as f:
+            json.dump(config, f)
 
     done = committed_groups(spark, paths) if resume else set()
-    tokens = docs.select(
+    sharded = docs.select(
         F.col(id_col).alias("doc_id"),
         shard_col(F.col(id_col), n_shards).alias("shard_id"),
-        tokenize_col(F.col(text_col), mode=mode).alias("toks"),
+        F.col(text_col).alias("text"),
     )
     metrics = []
     n_committed = 0
-    for g in range(n_groups):
-        if g in done:
-            continue
-        t0 = time.monotonic()
-        part = tokens.filter(F.pmod(F.col("shard_id"), F.lit(n_groups)) == g)
-        seg = part.groupBy("shard_id").applyInPandas(
-            _segment_builder(stats["avgdl"]), schema=SEGMENT_SCHEMA
+    # one shard per reduce task: AQE's coalescer otherwise packs the 64
+    # shards into ~#cores UNEVEN tasks and the stage runs as long as its
+    # fattest task (measured 1.8x the average — the single biggest scaling
+    # loss in the build). 64 equal single-shard tasks wave-schedule evenly
+    # at any core count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shards))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for g in range(n_groups):
+            if g in done:
+                continue
+            t0 = time.monotonic()
+            part = sharded.filter(F.pmod(F.col("shard_id"), F.lit(n_groups)) == g)
+            seg = part.groupBy("shard_id").applyInPandas(
+                _segment_builder(mode), schema=SEGMENT_SCHEMA
+            )
+            # applyInPandas output is already hash-partitioned by shard_id;
+            # no extra repartition — just sort by term within files so
+            # parquet row-group min/max stats prune query-term lookups
+            seg.sortWithinPartitions("term").write.mode("overwrite").parquet(
+                paths.group_dir(g)
+            )
+            wall_ms = (time.monotonic() - t0) * 1000.0
+            _commit_group(
+                spark, paths, g, build_id, n_shards, n_groups, wall_ms, metrics
+            )
+            n_committed += 1
+            if fail_after_group is not None and n_committed >= fail_after_group:
+                raise RuntimeError(f"injected failure after group {g}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+
+    # finalize: global stats + termstats from the committed segments
+    # (idempotent overwrite; re-runs after a crash before finalize)
+    all_done = done | {m["group_id"] for m in metrics}
+    stats: dict = {}
+    if len(all_done) >= n_groups:
+        segs = spark.read.option(
+            "basePath", os.path.join(paths.root, "segments")
+        ).parquet(paths.segments_glob)
+        salted_termstats_from_segments(segs).write.mode("overwrite").parquet(
+            paths.termstats
         )
-        # sort by term within files so parquet row-group stats prune lookups
-        seg.repartition("shard_id").sortWithinPartitions("term").write.mode(
-            "overwrite"
-        ).parquet(paths.group_dir(g))
-        wall_ms = (time.monotonic() - t0) * 1000.0
-        written = spark.read.parquet(paths.group_dir(g))
-        m = written.agg(
-            F.count("*").alias("n_terms"),
-            F.sum("n_postings").alias("n_postings"),
-            F.sum(F.length("doc_bytes")).alias("doc_bytes"),
-            F.sum(F.length("tf_bytes")).alias("tf_bytes"),
+        man = spark.read.parquet(paths.manifest).agg(
+            F.sum("n_docs").alias("n"),
         ).collect()[0]
-        n_docs_g = part.count()
-        row = {
-            "build_id": build_id,
-            "group_id": g,
+        dl_row = segs.filter(F.col("term").isNull()).agg(
+            F.sum("df_local").alias("n"), F.sum("cf_local").alias("s")
+        ).collect()[0]
+        n = int(dl_row["n"] or 0)
+        stats = {
+            "n_docs": n,
+            "avgdl": (int(dl_row["s"] or 0) / n) if n else 0.0,
             "n_shards": n_shards,
             "n_groups": n_groups,
-            "n_docs": n_docs_g,
-            "n_terms": int(m["n_terms"] or 0),
-            "n_postings": int(m["n_postings"] or 0),
-            "doc_bytes": int(m["doc_bytes"] or 0),
-            "tf_bytes": int(m["tf_bytes"] or 0),
-            "wall_ms": wall_ms,
-            "docs_per_sec": n_docs_g / (wall_ms / 1000.0) if wall_ms else 0.0,
-            "postings_per_sec": int(m["n_postings"] or 0) / (wall_ms / 1000.0) if wall_ms else 0.0,
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "mode": mode,
         }
-        spark.createDataFrame([row], MANIFEST_SCHEMA).write.mode("append").parquet(
-            paths.manifest
-        )
-        metrics.append(row)
-        n_committed += 1
-        if fail_after_group is not None and n_committed >= fail_after_group:
-            raise RuntimeError(f"injected failure after group {g}")
+        assert int(man["n"] or 0) == n, "manifest/segment doc-count mismatch"
+        tmp = paths.stats_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, paths.stats_json)
     return {"stats": stats, "metrics": metrics}
 
 
 @dataclass
 class SegmentIndex:
-    segments: DataFrame
-    doclen: DataFrame
+    segments: DataFrame  # term rows AND term=NULL doclen rows
     termstats: DataFrame
     stats: dict
     paths: IndexPaths
+
+    @property
+    def doclen_rows(self) -> DataFrame:
+        return self.segments.filter(F.col("term").isNull())
 
 
 def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:
@@ -307,8 +422,9 @@ def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:
     with open(paths.stats_json) as f:
         stats = json.load(f)
     return SegmentIndex(
-        segments=spark.read.option("basePath", os.path.join(paths.root, "segments")).parquet(paths.segments_glob),
-        doclen=spark.read.parquet(paths.doclen),
+        segments=spark.read.option(
+            "basePath", os.path.join(paths.root, "segments")
+        ).parquet(paths.segments_glob),
         termstats=spark.read.parquet(paths.termstats),
         stats=stats,
         paths=paths,

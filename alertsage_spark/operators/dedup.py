@@ -89,9 +89,15 @@ def minhash_lsh_pairs(
     buckets, so the shuffle key spreads across bands x hash space.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    # materialize shingles in their own projection so the expensive
+    # slice/concat shingle construction is evaluated ONCE per row, not
+    # once per hash function (32x re-evaluation otherwise)
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .select("doc_id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     )
     banded = sig.select(
         "doc_id",

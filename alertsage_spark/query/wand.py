@@ -2,12 +2,16 @@
 
 Query plan (batch of queries, one Spark job):
 
-    segments.filter(term IN query_terms)     <- parquet pushdown: only
-                                                query-term rows are read
-      groupBy(shard_id) COGROUP doclen.groupBy(shard_id)
-      -> applyInPandas(scorer)               <- per (shard) task: every
+    segments.filter(term IN query_terms OR term IS NULL)
+                                             <- parquet pushdown: only
+                                                query-term rows + the
+                                                per-shard doclen rows
+      groupBy(shard_id) -> applyInPandas(scorer)
+                                             <- per-shard task: every
                                                 query scored against the
-                                                shard's local index
+                                                shard's local postings,
+                                                doc lengths decoded from
+                                                the shard's own doclen row
       -> global window rank (round(score,6) desc, doc_id asc) <= k
 
 Document-sharding makes this embarrassingly parallel: no shuffle of
@@ -17,13 +21,14 @@ Two scorers, both exact (rank-identical to the join+agg path and the
 Python oracle — property-tested):
 
   * ``taat``: vectorized term-at-a-time — decode all matched postings,
-    one np.add.at group-sum, argpartition top-k. Zero per-row Python;
-    optimal when query terms are few and selective or the shard is small.
+    one np.add.at group-sum, exact top-k with rounded-tie margin. Zero
+    per-row Python; optimal for few/selective terms or small shards.
   * ``wand``: Block-Max WAND (public algorithm: Broder et al. WAND +
     Ding & Suel block-max bounds): doc-at-a-time pivoting with per-block
-    upper bounds; skips decoding blocks that cannot beat the running
-    top-k threshold. Wins at scale on long posting lists (hot terms)
-    where theta prunes most blocks. Exactness is protected by an epsilon
+    upper bounds idf * norm(block_max_tf, block_min_dl) — valid because
+    the BM25 tf-norm is monotone in tf and anti-monotone in dl. Skips
+    decoding blocks that cannot beat the running top-k threshold; wins at
+    scale on long posting lists. Exactness is protected by an epsilon
     margin (1e-5) under the rounded tie-break comparator.
 """
 
@@ -40,11 +45,12 @@ from pyspark.sql import functions as F
 from alertsage_spark.index.compress import (
     B,
     K1,
+    bm25_norm,
     decode_block,
-    varbyte_decode,
     delta_decode,
+    varbyte_decode,
 )
-from alertsage_spark.index.segments import SegmentIndex
+from alertsage_spark.index.segments import SegmentIndex, decode_doclen_row
 from alertsage_spark.tokenizer import tokenize_py
 
 THETA_EPS = 1e-5
@@ -57,7 +63,7 @@ def _idf(df: int, n_docs: int) -> float:
 class PostingIterator:
     """Cursor over one term's compressed blocks with block skipping."""
 
-    __slots__ = ("row", "idf", "avgdl", "n_blocks", "last_docs", "max_norms",
+    __slots__ = ("row", "idf", "avgdl", "n_blocks", "last_docs", "bounds",
                  "block_idx", "docs", "tfs", "pos", "exhausted", "global_ub")
 
     def __init__(self, row: dict, idf: float, avgdl: float) -> None:
@@ -65,9 +71,20 @@ class PostingIterator:
         self.idf = idf
         self.avgdl = avgdl
         self.last_docs = np.asarray(row["block_last_docs"], dtype=np.int64)
-        self.max_norms = np.asarray(row["block_max_norms"], dtype=np.float64)
         self.n_blocks = len(self.last_docs)
-        self.global_ub = idf * float(self.max_norms.max()) if self.n_blocks else 0.0
+        # per-block upper bound: idf * norm(max_tf, min_dl) — computed at
+        # query time from the stored (max_tf, min_dl) pairs + global avgdl
+        self.bounds = (
+            idf
+            * bm25_norm(
+                np.asarray(row["block_max_tfs"], dtype=np.int64),
+                np.asarray(row["block_min_dls"], dtype=np.int64),
+                avgdl,
+            )
+            if self.n_blocks
+            else np.empty(0)
+        )
+        self.global_ub = float(self.bounds.max()) if self.n_blocks else 0.0
         self.block_idx = -1
         self.exhausted = self.n_blocks == 0
         self.docs = np.empty(0, dtype=np.int64)
@@ -90,7 +107,7 @@ class PostingIterator:
         return int(self.tfs[self.pos])
 
     def block_ub(self) -> float:
-        return self.idf * float(self.max_norms[self.block_idx])
+        return float(self.bounds[self.block_idx])
 
     def block_last(self) -> int:
         return int(self.last_docs[self.block_idx])
@@ -139,7 +156,6 @@ def wand_topk_shard(
             break
         live.sort(key=lambda it: it.cur_doc)
         theta = heap[0][0] - THETA_EPS if len(heap) >= k else 0.0
-        # find pivot: smallest prefix whose global UBs can reach theta
         acc = 0.0
         pivot = -1
         for i, it in enumerate(live):
@@ -152,23 +168,20 @@ def wand_topk_shard(
         pivot_doc = live[pivot].cur_doc
         if live[0].cur_doc == pivot_doc:
             # block-max check: refine UB with current blocks
-            bm_ub = 0.0
             for it in live[: pivot + 1]:
                 it.seek(pivot_doc)
             live2 = [it for it in live[: pivot + 1] if not it.exhausted]
+            bm_ub = 0.0
             for it in live2:
                 if it.cur_doc <= it.block_last():
                     bm_ub += it.block_ub()
             if bm_ub <= theta and live2:
-                # no doc in these blocks can beat theta: jump past the
-                # nearest block boundary
                 d2 = min(it.block_last() for it in live2) + 1
                 if d2 <= pivot_doc:
                     d2 = pivot_doc + 1
                 for it in live2:
                     it.seek(d2)
                 continue
-            # full evaluation of pivot_doc
             dl = float(dl_lookup(pivot_doc))
             score = 0.0
             for it in live:
@@ -183,7 +196,6 @@ def wand_topk_shard(
                 if score > heap[0][0]:
                     heapq.heapreplace(heap, (score, pivot_doc))
         else:
-            # advance everything before the pivot up to pivot_doc
             for it in live[:pivot]:
                 it.seek(pivot_doc)
     return results
@@ -232,16 +244,18 @@ def taat_topk_shard(
 
 def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
                  avgdl: float, k: int, algo: str):
-    def scorer(seg_pdfs: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
-        if seg_pdfs.empty:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": str, "doc_id": "int64", "score": "float64"}
-            )
-        dl_docs = dl_pdf["doc_id"].to_numpy(dtype=np.int64)
-        o = np.argsort(dl_docs)
-        dl_docs = dl_docs[o]
-        dl_vals = dl_pdf["dl"].to_numpy(dtype=np.int64)[o]
-        by_term = {r["term"]: r for _, r in seg_pdfs.iterrows()}
+    def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": str, "doc_id": "int64", "score": "float64"}
+        )
+        dl_pdf = pdf[pdf["term"].isna()]
+        if dl_pdf.empty:
+            return out_empty
+        dl_docs, dl_vals = decode_doclen_row(dl_pdf.iloc[0])
+        seg_pdf = pdf[pdf["term"].notna()]
+        if seg_pdf.empty:
+            return out_empty
+        by_term = {r["term"]: r for _, r in seg_pdf.iterrows()}
         out_q, out_d, out_s = [], [], []
         for qid, terms in query_terms.items():
             rows = [(by_term[t], idf_map[t]) for t in terms if t in by_term]
@@ -276,7 +290,7 @@ def wand_topk(
 
     queries: iterable of (query_id, query_text). Tokenization uses the
     shared spec (driver-side tokenize_py on the tiny query set — parity
-    with the index-side JVM tokenizer is covered by tests).
+    with the index-side tokenizer is covered by tests).
     """
     mode = index.stats.get("mode", "text")
     query_terms = {
@@ -294,15 +308,12 @@ def wand_topk(
     idf_map = {r["term"]: _idf(int(r["df"]), n_docs) for r in df_rows}
     avgdl = float(index.stats["avgdl"])
 
-    seg = index.segments.filter(F.col("term").isin(all_terms))
+    seg = index.segments.filter(
+        F.col("term").isin(all_terms) | F.col("term").isNull()
+    )
     scorer = _make_scorer(query_terms, idf_map, avgdl, k, algo)
-    candidates = (
-        seg.groupBy("shard_id")
-        .cogroup(index.doclen.groupBy("shard_id"))
-        .applyInPandas(
-            lambda left, right: scorer(left, right),
-            schema="query_id string, doc_id long, score double",
-        )
+    candidates = seg.groupBy("shard_id").applyInPandas(
+        scorer, schema="query_id string, doc_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()

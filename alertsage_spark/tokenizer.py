@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -134,6 +135,84 @@ def _findall_with_trigrams(s: str) -> list[str]:
         for i in range(len(t) - 2)
     ]
     return toks + tris
+
+
+# ------------------------------------------------------- Arrow-native
+def tokenize_arrow_base(texts) -> tuple:
+    """Factorized token stream via pyarrow.compute — the zero-Python-
+    object fast path used inside the segment builder.
+
+    Returns (codes int64, doc_idx int64, vocab object-array): one entry
+    per token occurrence (text-mode tokens, same multiset per doc as
+    tokenize_py — parity-tested), already dictionary-encoded. All string
+    work happens in Arrow C++ (RE2), so no per-token Python str objects
+    are allocated — the dominant memory-bandwidth cost of the pandas
+    path at high parallelism.
+
+    Spec equivalence: findall('[a-z][a-z0-9]+') over the normalized text
+    == split on '[^a-z0-9]+', strip leading digits from each run, keep
+    runs of length >= 2 (a maximal alnum run contributes exactly its
+    digit-stripped suffix iff that suffix starts with a letter and has
+    >= 2 chars — and after stripping leading digits every non-empty run
+    starts with a letter).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pa.array(texts, type=pa.string(), from_pandas=True)
+    s = pc.fill_null(s, "")
+    s = pc.replace_substring_regex(s, pattern=CAMEL1[0], replacement=r"\1 \2")
+    s = pc.replace_substring_regex(s, pattern=CAMEL2[0], replacement=r"\1 \2")
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring(s, pattern="_", replacement=" ")
+    runs = pc.split_pattern_regex(s, pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(runs)
+    stripped = pc.replace_substring_regex(flat, pattern="^[0-9]+", replacement="")
+    run_counts = pc.list_value_length(runs).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(run_counts), dtype=np.int64), run_counts)
+    keep = pc.greater_equal(pc.utf8_length(stripped), 2).to_numpy(zero_copy_only=False)
+    keep = np.asarray(keep, dtype=bool)
+    kept = pc.array_filter(stripped, pa.array(keep))
+    enc = pc.dictionary_encode(kept)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return codes, doc_idx[keep], vocab
+
+
+def vocab_trigram_mapping(vocab) -> tuple:
+    """Vocab-level trigram tables for code mode: computed once per
+    DISTINCT term, then expanded over postings (never per occurrence).
+
+    Returns (tri_vocab object-array of '#xyz' strings,
+             tri_codes int64  — concatenated trigram code lists,
+             tri_mults int64  — multiplicity of each trigram in its term,
+             offsets int64    — per-vocab-code slice into tri_codes)."""
+    tri_index: dict[str, int] = {}
+    tri_codes: list[int] = []
+    tri_mults: list[int] = []
+    offsets = np.zeros(len(vocab) + 1, dtype=np.int64)
+    for i, term in enumerate(vocab):
+        if len(term) >= TRIGRAM_MIN_LEN:
+            counts: dict[str, int] = {}
+            for j in range(len(term) - 2):
+                tri = TRIGRAM_PREFIX + term[j : j + 3]
+                counts[tri] = counts.get(tri, 0) + 1
+            for tri, m in counts.items():
+                code = tri_index.setdefault(tri, len(tri_index))
+                tri_codes.append(code)
+                tri_mults.append(m)
+        offsets[i + 1] = len(tri_codes)
+    tri_vocab = np.empty(len(tri_index), dtype=object)
+    for tri, code in tri_index.items():
+        tri_vocab[code] = tri
+    return (
+        tri_vocab,
+        np.asarray(tri_codes, dtype=np.int64),
+        np.asarray(tri_mults, dtype=np.int64),
+        offsets,
+    )
 
 
 # ----------------------------------------------------------------- DuckDB

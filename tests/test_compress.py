@@ -10,6 +10,7 @@ from hypothesis import strategies as st
 
 from alertsage_spark.index.compress import (
     BLOCK_SIZE,
+    block_norm_bounds,
     bm25_norm,
     decode_block,
     decode_posting_list,
@@ -65,7 +66,7 @@ def test_posting_list_roundtrip(postings):
     tfs = np.array([seen[d][0] for d in sorted(seen)], dtype=np.int64)
     dls = np.array([seen[d][1] for d in sorted(seen)], dtype=np.int64)
     avgdl = float(dls.mean())
-    enc = encode_posting_list(docs, tfs, dls, avgdl)
+    enc = encode_posting_list(docs, tfs, dls)
     out_docs, out_tfs = decode_posting_list(enc)
     assert out_docs.tolist() == docs.tolist()
     assert out_tfs.tolist() == tfs.tolist()
@@ -73,20 +74,23 @@ def test_posting_list_roundtrip(postings):
     norms = bm25_norm(tfs, dls, avgdl)
     n_blocks = len(enc["block_last_docs"])
     assert n_blocks == (len(docs) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bounds = block_norm_bounds(
+        np.array(enc["block_max_tfs"]), np.array(enc["block_min_dls"]), avgdl
+    )
     for bi in range(n_blocks):
         bdocs, btfs = decode_block(enc, bi)
         s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, len(docs))
         assert bdocs.tolist() == docs[s:e].tolist()
         assert btfs.tolist() == tfs[s:e].tolist()
         assert enc["block_last_docs"][bi] == int(docs[e - 1])
-        assert enc["block_max_norms"][bi] >= norms[s:e].max() - 1e-12
+        assert bounds[bi] >= norms[s:e].max() - 1e-12
 
 
 def test_unsorted_input_is_sorted():
     docs = np.array([30, 10, 20], dtype=np.int64)
     tfs = np.array([3, 1, 2], dtype=np.int64)
     dls = np.array([5, 5, 5], dtype=np.int64)
-    enc = encode_posting_list(docs, tfs, dls, 5.0)
+    enc = encode_posting_list(docs, tfs, dls)
     out_docs, out_tfs = decode_posting_list(enc)
     assert out_docs.tolist() == [10, 20, 30]
     assert out_tfs.tolist() == [1, 2, 3]

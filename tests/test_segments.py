@@ -36,7 +36,10 @@ def _index_fingerprint(spark, d):
         F.md5(F.base64("tf_bytes")).alias("th"),
         F.col("block_last_docs").cast("string").alias("bl"),
     ).collect()
-    return sorted((r["shard_id"], r["term"], r["n_postings"], r["dh"], r["th"], r["bl"]) for r in rows)
+    return sorted(
+        (r["shard_id"], r["term"] or "", r["n_postings"], r["dh"], r["th"], r["bl"])
+        for r in rows
+    )
 
 
 def test_build_and_integrity(spark, docs, tmp_path):
@@ -44,28 +47,38 @@ def test_build_and_integrity(spark, docs, tmp_path):
     out = _build(spark, docs, d)
     assert len(out["metrics"]) == N_GROUPS
     idx = load_index(spark, str(d))
+    term_rows = idx.segments.filter(F.col("term").isNotNull())
 
     # postings count == uncompressed relational index
     rel = build_index(docs, "doc_id", "text")
-    n_seg_postings = idx.segments.agg(F.sum("n_postings")).collect()[0][0]
+    n_seg_postings = term_rows.agg(F.sum("n_postings")).collect()[0][0]
     n_rel_postings = rel.postings.count()
     assert n_seg_postings == n_rel_postings
 
+    # avgdl / n_docs match the relational build
+    assert idx.stats["n_docs"] == rel.n_docs
+    assert abs(idx.stats["avgdl"] - rel.avgdl) < 1e-9
+
     # per-term df: sum of shard-local df == global termstats df
-    seg_df = idx.segments.groupBy("term").agg(F.sum("df_local").alias("df_seg"))
+    seg_df = term_rows.groupBy("term").agg(F.sum("df_local").alias("df_seg"))
     joined = seg_df.join(idx.termstats, "term")
     assert joined.filter(F.col("df_seg") != F.col("df")).count() == 0
 
     # decode every posting list: sorted doc_ids; sum(tf) per doc == dl
-    rows = idx.segments.collect()
+    from alertsage_spark.index.segments import decode_doclen_row
+
     tf_by_doc: dict[int, int] = {}
-    for r in rows:
+    for r in term_rows.collect():
         doc_ids, tfs = decode_posting_list(r.asDict())
         assert (np.diff(doc_ids) > 0).all()  # strictly ascending
         assert len(doc_ids) == r["n_postings"]
         for did, tf in zip(doc_ids.tolist(), tfs.tolist()):
             tf_by_doc[did] = tf_by_doc.get(did, 0) + tf
-    dls = {r["doc_id"]: r["dl"] for r in idx.doclen.collect()}
+    dls: dict[int, int] = {}
+    for r in idx.doclen_rows.collect():
+        dd, ll = decode_doclen_row(r)
+        dls.update(zip(dd.tolist(), ll.tolist()))
+    assert len(dls) == docs.count()
     for did, total in tf_by_doc.items():
         assert total == dls[did], did
     # docs with dl>0 all appear

@@ -76,6 +76,40 @@ def test_pandas_udf_matches_python(spark, mode):
         assert got[i] == tokenize_py(s, mode=mode), f"case {i}: {s!r}"
 
 
+def test_arrow_base_matches_python():
+    """The Arrow-native factorized tokenizer must produce the same token
+    MULTISET per document as tokenize_py (order may differ)."""
+    from collections import Counter
+
+    from alertsage_spark.tokenizer import tokenize_arrow_base
+
+    codes, doc_idx, vocab = tokenize_arrow_base(CASES)
+    got: dict[int, Counter] = {i: Counter() for i in range(len(CASES))}
+    for c, d in zip(codes.tolist(), doc_idx.tolist()):
+        got[d][vocab[c]] += 1
+    for i, s in enumerate(CASES):
+        assert got[i] == Counter(tokenize_py(s)), f"case {i}: {s!r}"
+
+
+def test_vocab_trigram_mapping_matches_python():
+    from collections import Counter
+
+    import numpy as np
+
+    from alertsage_spark.tokenizer import vocab_trigram_mapping
+
+    vocab = np.asarray(["parse", "abc", "aaaa", "configuration"], dtype=object)
+    tri_vocab, tri_codes, tri_mults, off = vocab_trigram_mapping(vocab)
+    for i, term in enumerate(vocab):
+        expected = Counter(
+            "#" + term[j : j + 3] for j in range(len(term) - 2)
+        ) if len(term) >= 4 else Counter()
+        got = Counter()
+        for s in range(off[i], off[i + 1]):
+            got[tri_vocab[tri_codes[s]]] += int(tri_mults[s])
+        assert got == expected, term
+
+
 def test_duckdb_sql_matches_python():
     con = duckdb.connect()
     frag = duckdb_tokens_sql("s")

@@ -55,6 +55,37 @@ def test_rank_identity_vs_oracle(spark, seg_index, doc_oracle, algo):
             assert abs(h[1] - e[1]) <= 1e-6, (algo, qid, h, e)
 
 
+def test_code_mode_rank_identity(spark, corpus_rows, tmp_path_factory):
+    """Code-mode (identifier + trigram terms) compressed index must be
+    rank-identical to the Python oracle in code mode."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(corpus_rows)
+    docs = df.select(
+        F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2**62)).alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    d = tmp_path_factory.mktemp("codeidx") / "idx"
+    build_segments(spark, docs, str(d), n_shards=4, n_groups=2, mode="code")
+    idx = load_index(spark, str(d))
+    oracle = BM25Oracle(
+        [(r["doc_id"], r["text"]) for r in docs.collect()], mode="code"
+    )
+    queries = [
+        ("Q1", "parseConfig"), ("Q2", "spark flushQueue"),
+        ("Q3", "blockMax"),  # trigram-only partial identifier match
+        ("Q4", "read_buffer deltaEncode"),
+    ]
+    for algo in ("wand", "taat"):
+        got = _collect(wand_topk(spark, idx, queries, k=8, algo=algo))
+        for qid, text in queries:
+            expected = oracle.topk(text, k=8)
+            hits = got.get(qid, [])
+            assert [h[0] for h in hits] == [e[0] for e in expected], (algo, qid)
+            for h, e in zip(hits, expected):
+                assert abs(h[1] - e[1]) <= 1e-6, (algo, qid)
+
+
 def test_wand_equals_taat_on_random_queries(spark, seg_index, doc_oracle):
     import random
 
