@@ -128,6 +128,64 @@ def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_INDEX_CACHE: dict[str, object] = {}
+
+
+def _segment_index_for(spark: SparkSession, sf_dir: str):
+    """Build (once per process per sf_dir) the compressed segment index
+    over the documents fixture."""
+    import tempfile
+
+    from alertsage_spark.index.segments import build_segments, load_index
+
+    if sf_dir not in _SEG_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="catalog_idx_")
+        build_segments(
+            spark,
+            tbl(spark, sf_dir, "documents").select("doc_id", "text"),
+            d,
+            n_shards=8,
+            n_groups=1,
+            resume=False,
+        )
+        _SEG_INDEX_CACHE[sf_dir] = load_index(spark, d)
+    return _SEG_INDEX_CACHE[sf_dir]
+
+
+@register("ft_wand_topk_refqueries", _bm25_oracle_sql(10))
+def ft_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over the compressed delta+varbyte segment index —
+    EXACT, so it shares the ft_bm25 DuckDB oracle (north-rule core:
+    §4.2-2/5). Exercises build->segments->manifest->WAND end to end."""
+    from alertsage_spark.query.wand import wand_topk
+
+    index = _segment_index_for(spark, sf_dir)
+    qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
+    return wand_topk(spark, index, qs, k=10, algo="wand").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@register("ft_taat_topk_refqueries", _bm25_oracle_sql(10))
+def ft_taat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized TAAT over the compressed segment index — also exact."""
+    from alertsage_spark.query.wand import wand_topk
+
+    index = _segment_index_for(spark, sf_dir)
+    qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
+    return wand_topk(spark, index, qs, k=10, algo="taat").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@register("ft_index_manifest")  # rows-only: wall-clock metrics are run-dependent
+def ft_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build lineage + metrics rows (north rule: per-partition lineage,
+    docs/sec, postings/sec, bytes compressed)."""
+    index = _segment_index_for(spark, sf_dir)
+    return spark.read.parquet(index.paths.manifest)
+
+
 @register(
     "ft_term_df_top20",
     f"""
@@ -396,6 +454,23 @@ def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (reference M5: sim >= 0.90,
     /root/reference/src/triage/embeddings.py:147-164)."""
     return similarity.embedding_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.90)
+
+
+@register("mm_extract_features")  # rows-only: synthetic media, stub decoder
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blobs -> Arrow-batched feature
+    extraction (deterministic fake decoder; real codecs stubbed)."""
+    from alertsage_spark.operators import multimodal as mm
+
+    return mm.extract_features(mm.synth_media(spark, n=64), decoder=mm.fake_decode)
+
+
+@register("mm_frame_sample_plan")  # rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven video frame-sampling plan (explode before decode)."""
+    from alertsage_spark.operators import multimodal as mm
+
+    return mm.frame_sample_plan(mm.synth_media(spark, n=64), every_ms=500)
 
 
 # =====================================================================

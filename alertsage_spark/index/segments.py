@@ -299,6 +299,31 @@ def committed_groups(spark: SparkSession, paths: IndexPaths) -> set[int]:
         return set()
 
 
+def verify_corpus_fidelity(
+    docs: DataFrame,
+    reference_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_col: str = "content_sha256",
+) -> None:
+    """North-rule per-row invariant: sha2(content, 256) of every indexed
+    row must equal the reference's recorded hash. One anti-join job; any
+    mismatching or missing row raises before the build proceeds."""
+    actual = docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("h")
+    )
+    ref = reference_hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h")
+    )
+    bad = actual.join(ref, ["doc_id", "h"], "left_anti").count()
+    missing = ref.join(actual, ["doc_id", "h"], "left_anti").count()
+    if bad or missing:
+        raise ValueError(
+            f"corpus fidelity check failed: {bad} rows hash-mismatched, "
+            f"{missing} reference rows missing"
+        )
+
+
 def build_segments(
     spark: SparkSession,
     docs: DataFrame,
@@ -311,14 +336,19 @@ def build_segments(
     resume: bool = True,
     build_id: str = "build-0",
     fail_after_group: int | None = None,
+    fidelity_hashes: DataFrame | None = None,
 ) -> dict:
     """Full checkpointed single-pass build. Returns stats + metrics list.
 
+    ``fidelity_hashes`` (doc_id, content_sha256) enables the north-rule
+    per-row corpus fidelity gate before indexing.
     ``fail_after_group`` injects a crash for the resume test (kill after
     committing that many groups).
     """
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
+    if fidelity_hashes is not None:
+        verify_corpus_fidelity(docs, fidelity_hashes, id_col, text_col)
     config = {"n_shards": n_shards, "n_groups": n_groups, "mode": mode}
     if resume and os.path.exists(paths.config_json):
         with open(paths.config_json) as f:

@@ -126,12 +126,18 @@ def lsh_ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_tables: int = 4,
-    bits_per_table: int = 8,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: only rows colliding with the query in >= 1 of
     ``n_tables`` sign-LSH tables are scored.
+
+    Defaults (8 tables x 4 bits) target weakly-clustered corpora (top-k
+    cosines ~0.3): collision prob per table ~(1 - theta/pi)^bits, so
+    fewer bits + more tables buys recall (measured 0.9-1.0 on the
+    fixture) at the cost of larger candidate sets. For strongly clustered
+    data raise bits_per_table to shrink candidates.
 
     At corpus scale the signature columns are precomputed and stored
     (partition/bucket by signature), so a query touches only matching

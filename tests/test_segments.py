@@ -99,6 +99,32 @@ def test_resume_after_failure_is_identical(spark, docs, tmp_path):
     assert _index_fingerprint(spark, crashed) == _index_fingerprint(spark, full)
 
 
+def test_corpus_fidelity_gate(spark, docs, tmp_path):
+    """North-rule per-row invariant: sha2(content,256) equality vs the
+    reference hashes; a single tampered row aborts the build."""
+    from pyspark.sql import functions as F2
+
+    from alertsage_spark.index.segments import verify_corpus_fidelity
+
+    good = docs.select("doc_id", F2.sha2("text", 256).alias("content_sha256"))
+    verify_corpus_fidelity(docs, good)  # passes
+
+    tampered = docs.withColumn(
+        "text",
+        F2.when(F2.col("doc_id") == 3, F2.concat(F2.col("text"), F2.lit("x"))).otherwise(
+            F2.col("text")
+        ),
+    )
+    with pytest.raises(ValueError, match="fidelity"):
+        verify_corpus_fidelity(tampered, good)
+    # and the gate wires into the build entrypoint
+    with pytest.raises(ValueError, match="fidelity"):
+        build_segments(
+            spark, tampered, str(tmp_path / "f"), n_shards=2, n_groups=1,
+            fidelity_hashes=good,
+        )
+
+
 def test_manifest_metrics(spark, docs, tmp_path):
     d = tmp_path / "m"
     _build(spark, docs, d)
