@@ -370,6 +370,98 @@ def ft_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_THRESHOLDS = [0.5, 1.0, 2.0, 4.0, 8.0]
+
+
+@register(
+    "ft_threshold_sweep",
+    f"""
+WITH {_TOKS_CTE},
+queries(query_id, query_text) AS (VALUES
+    {",".join(f"({_sql_quote(c)}, {_sql_quote(t)})" for c, _l, t in REFERENCE_QUERIES)}
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql("query_text")}) AS term FROM queries
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum( ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+            * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) ), 6) AS score
+  FROM qterms q JOIN postings p USING (term) JOIN termstats s USING (term)
+  JOIN doclen d USING (doc_id) CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+th(threshold) AS (VALUES {",".join(f"(CAST({t} AS DOUBLE))" for t in _SWEEP_THRESHOLDS)})
+SELECT th.threshold,
+       CAST(count(CASE WHEN s.score >= th.threshold THEN 1 END) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT CASE WHEN s.score >= th.threshold THEN s.query_id END) AS BIGINT)
+         AS n_queries_covered
+FROM th CROSS JOIN scored s
+GROUP BY th.threshold
+""",
+)
+def ft_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep: hit coverage as a function of the score cutoff
+    (SURVEY §2.9 M9/M10 — the reference's notebooks/09 coverage-vs-
+    threshold analysis, re-expressed as one conditional-agg crossJoin)."""
+    from alertsage_spark.index.build import build_index
+    from alertsage_spark.query.bm25 import bm25_scores, query_terms
+
+    index = build_index(tbl(spark, sf_dir, "documents"))
+    scores = bm25_scores(index, query_terms(queries_df(spark))).select(
+        "query_id", F.round("score", 6).alias("score")
+    )
+    th = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "threshold double")
+    return (
+        th.crossJoin(scores)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("score") >= F.col("threshold"), 1)).alias("n_hits"),
+            F.countDistinct(
+                F.when(F.col("score") >= F.col("threshold"), F.col("query_id"))
+            ).alias("n_queries_covered"),
+        )
+    )
+
+
+@register(
+    "ft_threshold_gate",
+    _bm25_oracle_sql(10).replace(
+        'SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= 10',
+        """SELECT query_id, doc_id, score, "rank",
+       CASE WHEN score >= 2.0 THEN 'confident' ELSE 'uncertain' END AS gate
+FROM ranked WHERE "rank" <= 10""",
+    ),
+)
+def ft_threshold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty threshold gate on top-k hits (SURVEY §2.9 M9: the
+    reference's `final = base if max_prob >= t else 'uncertain'`,
+    /root/reference/src/triage/cli.py:1254)."""
+    out = ft_bm25_topk(spark, sf_dir)
+    return out.withColumn(
+        "gate",
+        F.when(F.col("score") >= 2.0, "confident").otherwise("uncertain"),
+    )
+
+
+@register("ml_kmeans_clusters")  # rows-only: kmeans has no SQL oracle
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans over the embeddings table (SURVEY §2.9 M6 — the reference's
+    embeddings.py:166-185, k=10 seed=42), via pyspark.ml."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=10, seed=42, featuresCol="features").fit(emb)
+    out = model.transform(emb)
+    return (
+        out.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # =====================================================================
 # Dedup + similarity (training-data pipeline ops)
 # =====================================================================
@@ -451,9 +543,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_dup_pairs")  # rows-only
 def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (reference M5: sim >= 0.90,
-    /root/reference/src/triage/embeddings.py:147-164)."""
-    return similarity.embedding_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.90)
+    """Embedding-cosine near-duplicate pairs (reference M5 semantics:
+    sim >= threshold, /root/reference/src/triage/embeddings.py:147-164).
+    The fixture vectors are weakly clustered, so the demo threshold is
+    0.30 to produce a non-trivial pair set; 0.90 is the production
+    default for true duplicates."""
+    return similarity.embedding_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.30)
 
 
 @register("mm_extract_features")  # rows-only: synthetic media, stub decoder
@@ -645,13 +740,17 @@ def rel_join_semi(spark, sf_dir):
     "rel_join_anti",
     """
 SELECT c_custkey FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
 """,
 )
 def rel_join_anti(spark, sf_dir):
-    """Left-anti join (U1 relational form — NOT EXISTS)."""
+    """Left-anti join (U1 relational form — NOT EXISTS); the filtered
+    right side keeps the result non-trivial at every SF."""
     c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 

@@ -1,0 +1,107 @@
+"""Scalar text functions (SURVEY §2.8) — semantics mirrored from the
+reference with the reference's own test properties
+(/root/reference/tests/test_preprocess.py: lowercase, URL removal,
+empty/whitespace, idempotence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alertsage_spark.functions import text as tf
+
+
+def _one(spark, col_expr, s="", extra=None):
+    df = spark.createDataFrame([(s, *(extra or []))],
+                               ["s"] + [f"c{i}" for i in range(len(extra or []))])
+    return df.select(col_expr.alias("out")).collect()[0]["out"]
+
+
+def test_clean_description_properties(spark):
+    cases = {
+        "Check https://evil.example.com/x NOW": "check url now",
+        "user uploaded to gdrive yesterday": "user uploaded to googledrive yesterday",
+        "ping 192.168.1.10 failed": "ping ipaddr failed",
+        "saw /usr/local/bin/malware.sh run": "saw filepath run",
+        "": "",
+        "   ": "",
+        "Port 443 and 80": "port and",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, tf.clean_description(F.col("s")), raw) == want
+    # idempotence (reference tests/test_preprocess.py:40-44)
+    for raw in cases:
+        once = _one(spark, tf.clean_description(F.col("s")), raw)
+        again = _one(spark, tf.clean_description(F.col("s")), once)
+        assert once == again
+
+
+def test_extract_iocs(spark):
+    s = ("Contact admin@corp.com or visit https://bad.ru/payload from "
+         "10.0.0.5; domain evil.com seen. ADMIN@CORP.COM repeated")
+    got = set(_one(spark, tf.extract_iocs(F.col("s")), s))
+    assert "admin@corp.com" in got
+    assert "https://bad.ru/payload" in got
+    assert "10.0.0.5" in got
+    assert "evil.com" in got
+    # de-duplicated lowercase set
+    assert len([g for g in got if g == "admin@corp.com"]) == 1
+
+
+def test_extract_mitre_ids(spark):
+    s = "Matches T1059 and T1059.001 but not T12 or X1234"
+    assert set(_one(spark, tf.extract_mitre_ids(F.col("s")), s)) == {
+        "T1059", "T1059.001"
+    }
+
+
+def test_hallucination_guard(spark):
+    df = spark.createDataFrame(
+        [(["10.0.0.5", "evil.com", "not-in-text.com"],
+          "traffic from 10.0.0.5 to evil.com observed")],
+        "claimed array<string>, src string",
+    )
+    out = df.select(
+        tf.hallucinated_iocs(F.col("claimed"), F.col("src")).alias("bad")
+    ).collect()[0]["bad"]
+    assert out == ["not-in-text.com"]
+
+
+def test_risk_score_bounds_and_order(spark):
+    df = spark.createDataFrame(
+        [("critical", 0.95, "ransom from 10.1.1.1 hitting https://x.ru/a"),
+         ("low", 0.2, "routine patch note")],
+        "severity string, conf double, text string",
+    )
+    rows = df.select(
+        tf.risk_score(F.col("severity"), F.col("conf"), F.col("text")).alias("r")
+    ).collect()
+    hi, lo = rows[0]["r"], rows[1]["r"]
+    assert 0.0 <= lo < hi <= 100.0
+
+
+def test_uncertainty_band(spark):
+    df = spark.createDataFrame([(0.3,), (0.6,), (0.95,)], "p double")
+    got = [r["b"] for r in df.select(tf.uncertainty_band(F.col("p")).alias("b")).collect()]
+    assert got == ["high", "medium", "low"]
+
+
+def test_normalize_label(spark):
+    df = spark.createDataFrame(
+        [("ransomware",), ("brute_force_attack",), ("phishing",), ("garbage",)],
+        "l string",
+    )
+    got = [r["n"] for r in df.select(tf.normalize_label(F.col("l")).alias("n")).collect()]
+    assert got == ["malware", "access_abuse", "phishing", "uncertain"]
+
+
+def test_readonly_sql_guard():
+    assert tf.validate_readonly_sql("SELECT 1") == "SELECT 1"
+    assert tf.validate_readonly_sql("WITH t AS (SELECT 1) SELECT * FROM t")
+    assert tf.validate_readonly_sql("-- c\nSELECT 2").startswith("SELECT 2")
+    for bad in ["DROP TABLE x", "SELECT 1; DELETE FROM y", "INSERT INTO x VALUES (1)",
+                "/* SELECT */ UPDATE t SET a=1", "", "  "]:
+        with pytest.raises(ValueError):
+            tf.validate_readonly_sql(bad)
+    # 'selected'/'created_at' style identifiers must NOT trip word-boundary checks
+    assert tf.validate_readonly_sql("SELECT created_at, updates FROM t")
