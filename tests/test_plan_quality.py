@@ -1,0 +1,110 @@
+"""Physical-plan audits: the plans must be the ones a 100 TB deployment
+needs — filter pushdown into parquet scans, column pruning, broadcast
+joins for small sides, TakeOrderedAndProject for top-k, Arrow (never
+row-at-a-time) Python, whole-stage codegen on the relational surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alertsage_spark import catalog
+from alertsage_spark.index.build import build_index
+from alertsage_spark.index.segments import build_segments, load_index
+from alertsage_spark.query.bm25 import bm25_topk
+from alertsage_spark.query.refqueries import queries_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """BatchEvalPython (pickled row-at-a-time UDF) must never appear in
+    any catalog query plan — the north rule's no-per-row-Python gate."""
+    for name, fn in catalog.queries().items():
+        df = fn(spark, SF_DIR)
+        assert "BatchEvalPython" not in _plan(df), name
+
+
+def test_segment_term_filter_pushed_to_parquet(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    d = tmp_path / "idx"
+    build_segments(spark, docs, str(d), n_shards=4, n_groups=1)
+    idx = load_index(spark, str(d))
+    q = idx.segments.filter(F.col("term").isin(["data", "stream"]))
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.select("doc_id").filter(F.col("doc_id") > 100)
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema
+    assert "text" not in read_schema  # untouched columns never read
+
+
+def test_bm25_exact_path_broadcasts_small_sides(spark):
+    index = build_index(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    q = bm25_topk(index, queries_df(spark), k=10)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan  # query terms + termstats broadcast
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # tokenizer is pure SQL exprs here
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    q = catalog.queries()["rel_join_topk"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_join_chain_broadcasts(spark):
+    q = catalog.queries()["rel_join_chain"](spark, SF_DIR)
+    assert _plan(q).count("BroadcastHashJoin") >= 2
+
+
+def test_relational_surface_uses_wholestage_codegen(spark):
+    for name in ["rel_agg_count_avg", "rel_filter_range", "rel_window_topk_group"]:
+        q = catalog.queries()[name](spark, SF_DIR)
+        q.collect()  # AQE finalizes the plan (and codegen nodes) on execution
+        # codegen stages print as '*(n)' markers in the executed plan
+        assert "*(1)" in _plan(q), name
+
+
+def test_filter_pushdown_through_projection(spark):
+    """Catalyst must push rel predicates into the parquet scan."""
+    q = catalog.queries()["rel_filter_dates"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "l_shipdate" in pushed
+
+
+def test_exact_dedup_is_aggregate_not_crossjoin(spark):
+    from alertsage_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.exact_dedup(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_join_is_equi_join_on_buckets(spark):
+    """The LSH self-join must hash/sort-merge on (band_id, band_hash) —
+    any nested-loop/cartesian plan would be the O(n^2) failure mode."""
+    from alertsage_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
