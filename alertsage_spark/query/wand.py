@@ -251,14 +251,30 @@ def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
         dl_pdf = pdf[pdf["term"].isna()]
         if dl_pdf.empty:
             return out_empty
-        dl_docs, dl_vals = decode_doclen_row(dl_pdf.iloc[0])
+        # a shard carries one doclen row per committed group; an
+        # un-compacted multi-group index therefore has several — merge
+        dl_parts = [decode_doclen_row(r) for _, r in dl_pdf.iterrows()]
+        dl_docs = np.concatenate([p[0] for p in dl_parts])
+        dl_vals = np.concatenate([p[1] for p in dl_parts])
+        order = np.argsort(dl_docs, kind="stable")
+        dl_docs, dl_vals = dl_docs[order], dl_vals[order]
         seg_pdf = pdf[pdf["term"].notna()]
         if seg_pdf.empty:
             return out_empty
-        by_term = {r["term"]: r for _, r in seg_pdf.iterrows()}
+        # one row per (term, committed group): an un-compacted index has
+        # several runs per term — score them all (disjoint doc appends
+        # are exact; re-ingests of the SAME doc require merge_segments)
+        by_term: dict[str, list] = {}
+        for _, r in seg_pdf.iterrows():
+            by_term.setdefault(r["term"], []).append(r)
         out_q, out_d, out_s = [], [], []
         for qid, terms in query_terms.items():
-            rows = [(by_term[t], idf_map[t]) for t in terms if t in by_term]
+            rows = [
+                (run, idf_map[t])
+                for t in terms
+                if t in by_term
+                for run in by_term[t]
+            ]
             if not rows:
                 continue
             if algo == "wand":
