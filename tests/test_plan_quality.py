@@ -44,12 +44,14 @@ def test_segment_term_filter_pushed_to_parquet(spark, tmp_path):
 
 
 def test_column_pruning_reaches_scan(spark):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    q = docs.select("doc_id").filter(F.col("doc_id") > 100)
+    # lineitem: not cached by any fixture, so the plan keeps its FileScan
+    # (a cached table would be substituted by InMemoryRelation)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.select("l_orderkey").filter(F.col("l_orderkey") > 100)
     plan = _plan(q)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "doc_id" in read_schema
-    assert "text" not in read_schema  # untouched columns never read
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched cols never read
 
 
 def test_bm25_exact_path_broadcasts_small_sides(spark):
