@@ -8,7 +8,11 @@ oracle_sql()  -> matching DuckDB SQL for every SQL-expressible entry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
