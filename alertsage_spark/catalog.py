@@ -880,6 +880,32 @@ def rel_agg_banding(spark, sf_dir):
     )
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "rel_agg_pivot",
+    f"""
+SELECT CAST(ts AS DATE) AS day,
+       {", ".join(f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in _PIVOT_TYPES)}
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+)
+def rel_agg_pivot(spark, sf_dir):
+    """PIVOT on event_type (§2.4 bonus — free in Spark; the oracle is
+    the equivalent conditional aggregation)."""
+    out = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    # pivot emits nullable counts; align with the oracle's count(CASE)=0
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES]
+    )
+
+
 @register(
     "rel_agg_rollup",
     """

@@ -163,7 +163,6 @@ def _minhash_bands_arrow(num_hashes: int, bands: int, shingle_n: int):
                 )
                 continue
             # distinct shingles per doc, grouped by doc
-            key = sh_doc.astype(np.uint64) << np.uint64(0)  # sort by (doc, shingle)
             order = np.lexsort((sh, sh_doc))
             sh, sh_doc = sh[order], sh_doc[order]
             keep = np.ones(len(sh), dtype=bool)

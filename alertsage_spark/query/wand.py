@@ -323,6 +323,13 @@ def wand_topk(
     n_docs = index.stats["n_docs"]
     idf_map = {r["term"]: _idf(int(r["df"]), n_docs) for r in df_rows}
     avgdl = float(index.stats["avgdl"])
+    if algo == "auto":
+        # both scorers are exact; pick by matched-postings volume. TAAT's
+        # single vectorized pass wins while decode cost is small; WAND's
+        # block skipping wins once posting lists are long enough for the
+        # top-k threshold to prune whole blocks.
+        total_matched = sum(int(r["df"]) for r in df_rows)
+        algo = "taat" if total_matched < 200_000 * len(query_terms) else "wand"
 
     seg = index.segments.filter(
         F.col("term").isin(all_terms) | F.col("term").isNull()

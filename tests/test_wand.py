@@ -44,7 +44,7 @@ QUERIES = [(cid, text) for cid, _l, text in REFERENCE_QUERIES] + [
 ]
 
 
-@pytest.mark.parametrize("algo", ["wand", "taat"])
+@pytest.mark.parametrize("algo", ["wand", "taat", "auto"])
 def test_rank_identity_vs_oracle(spark, seg_index, doc_oracle, algo):
     got = _collect(wand_topk(spark, seg_index, QUERIES, k=K, algo=algo))
     for qid, text in QUERIES:
