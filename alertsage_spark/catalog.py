@@ -122,13 +122,24 @@ SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
 def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: BM25 top-10 for the 18 reference scenario queries
     (SURVEY §2.9 M1/M4, §2.6 T3)."""
-    index = build_index(tbl(spark, sf_dir, "documents"))
+    index = _rel_index_for(spark, sf_dir)
     return bm25_topk(index, queries_df(spark), k=10).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
 
 _SEG_INDEX_CACHE: dict[str, object] = {}
+_REL_INDEX_CACHE: dict[str, object] = {}
+
+
+def _rel_index_for(spark: SparkSession, sf_dir: str):
+    """Uncompressed relational index over documents, built once per
+    process per sf_dir (several ft_* entries share it)."""
+    if sf_dir not in _REL_INDEX_CACHE:
+        _REL_INDEX_CACHE[sf_dir] = build_index(
+            tbl(spark, sf_dir, "documents")
+        ).cache()
+    return _REL_INDEX_CACHE[sf_dir]
 
 
 def _segment_index_for(spark: SparkSession, sf_dir: str):
@@ -196,7 +207,7 @@ ORDER BY df DESC, term ASC LIMIT 20
 )
 def ft_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-frequency aggregation (SURVEY §2.4 A11 — the IDF step)."""
-    index = build_index(tbl(spark, sf_dir, "documents"))
+    index = _rel_index_for(spark, sf_dir)
     return index.termstats.orderBy(F.desc("df"), F.asc("term")).limit(20)
 
 
@@ -206,7 +217,7 @@ def ft_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ft_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token length (tokenizer parity across engines)."""
-    index = build_index(tbl(spark, sf_dir, "documents"))
+    index = _rel_index_for(spark, sf_dir)
     return index.doclen.select("doc_id", F.col("dl").cast("long").alias("dl"))
 
 
@@ -221,7 +232,7 @@ SELECT CAST((SELECT count(*) FROM doclen) AS BIGINT) AS n_docs,
 """,
 )
 def ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    index = build_index(tbl(spark, sf_dir, "documents"))
+    index = _rel_index_for(spark, sf_dir)
     n_terms, n_postings = (
         index.termstats.agg(
             F.count("*").alias("t"), F.sum("df").alias("p")
@@ -407,7 +418,7 @@ def ft_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertsage_spark.index.build import build_index
     from alertsage_spark.query.bm25 import bm25_scores, query_terms
 
-    index = build_index(tbl(spark, sf_dir, "documents"))
+    index = _rel_index_for(spark, sf_dir)
     scores = bm25_scores(index, query_terms(queries_df(spark))).select(
         "query_id", F.round("score", 6).alias("score")
     )
