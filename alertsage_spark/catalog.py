@@ -565,10 +565,15 @@ def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mm_extract_features")  # rows-only: synthetic media, stub decoder
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary blobs -> Arrow-batched feature
-    extraction (deterministic fake decoder; real codecs stubbed)."""
+    extraction (deterministic fake decoder; real codecs stubbed).
+
+    The feature vector is serialized to a JSON string for the driver's
+    canonicalizer (it sorts result columns; a raw array<float> cell is
+    unhashable in pandas)."""
     from alertsage_spark.operators import multimodal as mm
 
-    return mm.extract_features(mm.synth_media(spark, n=64), decoder=mm.fake_decode)
+    out = mm.extract_features(mm.synth_media(spark, n=64), decoder=mm.fake_decode)
+    return out.withColumn("feature", F.to_json("feature"))
 
 
 @register("mm_frame_sample_plan")  # rows-only
@@ -1178,4 +1183,408 @@ def rel_regexp_extract(spark, sf_dir):
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+[0-9]+"), F.lit(0)))
         .cast("long")
         .alias("n_alnum_idents"),
+    )
+
+
+# =====================================================================
+# Scalar text-function entries (SURVEY §2.8 F1/F3/F5/F6/F11/F13/F15/F16,
+# F4 SIEM, M11 keyword gates) — each Spark expression oracle-matched to
+# generated DuckDB SQL from the SAME pattern/keyword constants.
+# =====================================================================
+
+from alertsage_spark.functions import keyword_gates as kg  # noqa: E402
+from alertsage_spark.functions import text as txt  # noqa: E402
+
+
+def _clean_text_sql(col: str) -> str:
+    e = f"lower({col})"
+    for pat, rep in txt.CLEAN_STEPS:
+        e = f"regexp_replace({e}, {_sql_quote(pat)}, {_sql_quote(rep)}, 'g')"
+    return f"trim({e})"
+
+
+@register(
+    "ft_clean_text",
+    f"SELECT doc_id, {_clean_text_sql('text')} AS cleaned FROM documents",
+)
+def ft_clean_text(spark, sf_dir):
+    """F1 clean_description, step-identical to the reference spec
+    (/root/reference/src/triage/preprocess.py:4-48)."""
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", txt.clean_description(F.col("text")).alias("cleaned")
+    )
+
+
+_NOISE_SUFFIX = " – en — em ,Àì tail Àì é∆"
+
+
+def _sanitize_sql(col: str) -> str:
+    e = col
+    for a, b in txt.SANITIZE_REPLACES:
+        e = f"replace({e}, {_sql_quote(a)}, {_sql_quote(b)})"
+    e = f"regexp_replace({e}, {_sql_quote(txt.NON_ASCII_RE)}, '', 'g')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
+@register(
+    "ft_sanitize_text",
+    f"""
+WITH noisy AS (SELECT doc_id, text || {_sql_quote(_NOISE_SUFFIX)} AS t FROM documents)
+SELECT doc_id, {_sanitize_sql('t')} AS sanitized FROM noisy
+""",
+)
+def ft_sanitize_text(spark, sf_dir):
+    """F6 sanitize_text (/root/reference/generator/generate_cyber_incidents.py:
+    1106-1130): unicode-dash fold, mojibake strip, ASCII-only encode,
+    whitespace collapse — exercised on a deterministic noisy suffix."""
+    noisy = F.concat(F.col("text"), F.lit(_NOISE_SUFFIX))
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", txt.sanitize_text(noisy).alias("sanitized")
+    )
+
+
+@register(
+    "ft_lenient_json",
+    r"""
+WITH j AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN '{"label": "' || lang || '", "mitre_ids": ["T1059", "T1027"]}'
+      ELSE '{"label": "' || lang || '", "mitre_ids": ["T1566"]' END AS js
+  FROM documents)
+SELECT doc_id,
+  coalesce(CASE WHEN json_valid(js) THEN json_extract_string(js, '$.label') END,
+           nullif(regexp_extract(js, '"label"\s*:\s*"([^"]+)"', 1), '')) AS label,
+  regexp_replace(regexp_extract(js, '"mitre_ids"\s*:\s*\[([^\]]*)\]', 1),
+                 '["'' ]', '', 'g') AS mitre_csv
+FROM j
+""",
+)
+def ft_lenient_json(spark, sf_dir):
+    """F15 lenient JSON fallback (/root/reference/src/triage/cli.py:355-374):
+    strict JSON-path first, regex scrape of nearly-JSON second. Half the
+    synthesized payloads are valid JSON (strict path), half truncated
+    (fallback path)."""
+    valid = F.concat(
+        F.lit('{"label": "'), F.col("lang"),
+        F.lit('", "mitre_ids": ["T1059", "T1027"]}'),
+    )
+    broken = F.concat(
+        F.lit('{"label": "'), F.col("lang"), F.lit('", "mitre_ids": ["T1566"]')
+    )
+    js = F.when(F.col("doc_id") % 2 == 0, valid).otherwise(broken)
+    d = tbl(spark, sf_dir, "documents").select("doc_id", js.alias("js"))
+    return d.select(
+        "doc_id",
+        txt.lenient_json_field(F.col("js"), "label").alias("label"),
+        txt.lenient_json_string_list(F.col("js"), "mitre_ids").alias("mitre_csv"),
+    )
+
+
+def _siem_enriched_sql() -> str:
+    return (
+        "text || ' src=10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.5"
+        " fetched https://cdn' || CAST(doc_id % 7 AS VARCHAR) ||"
+        " '.example.org/payload user: svc_' || CAST(doc_id % 5 AS VARCHAR) ||"
+        " ' mailto admin' || CAST(doc_id % 3 AS VARCHAR) ||"
+        " '@corp.example attach inv' || CAST(doc_id % 4 AS VARCHAR) || '.pdf'"
+    )
+
+
+def _siem_enriched_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" src=10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.5 fetched https://cdn"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/payload user: svc_"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(" mailto admin"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("@corp.example attach inv"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".pdf"),
+    )
+
+
+@register(
+    "ft_siem_patterns",
+    f"""
+WITH e AS (SELECT doc_id, {_siem_enriched_sql()} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+    nullif(regexp_extract(t, {_sql_quote(txt.SIEM_IP_RE)}, 0), '') AS ip,
+    coalesce(nullif(regexp_extract(t, {_sql_quote(txt.SIEM_URLHOST_RE)}, 1), ''),
+             nullif(regexp_extract(lower(t), {_sql_quote(txt.SIEM_DOMAIN_RE)}, 1), '')) AS host,
+    nullif(regexp_extract(t, {_sql_quote(txt.SIEM_FILE_RE)}, 0), '') AS fname,
+    nullif(regexp_extract(t, {_sql_quote(txt.SIEM_EMAIL_RE)}, 0), '') AS email,
+    nullif(regexp_extract(lower(t), {_sql_quote(txt.SIEM_USER_RE)}, 1), '') AS u
+  FROM e)
+SELECT doc_id,
+  'src_ip:' || ip || ' OR dst_ip:' || ip AS ip_query,
+  'url:"*' || host || '*" OR domain:"' || host || '"' AS domain_query,
+  'file_name:"' || fname || '"' AS file_query,
+  'sender:"' || email || '" OR recipient:"' || email || '"' AS email_query,
+  'user:"' || u || '"' AS user_query,
+  CASE WHEN coalesce('src_ip:' || ip, 'url:' || host, fname, email, u) IS NULL
+       THEN 'event_type:security' END AS fallback_query
+FROM m
+""",
+)
+def ft_siem_patterns(spark, sf_dir):
+    """F4 SIEM search-pattern builder (/root/reference/ui_premium.py:719-758)
+    over deterministically indicator-enriched documents."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _siem_enriched_col().alias("t")
+    )
+    pats = txt.siem_search_patterns(F.col("t"))
+    return d.select("doc_id", *[c.alias(n) for n, c in pats.items()])
+
+
+_CLAIM_LABELS = [
+    "phishing", "malware", "ransomware", "access_abuse",
+    "data_exfiltration", "policy_violation", "web_attack",
+    "brute_force_attack", "benign_activity", "uncertain", "junk_label",
+]
+
+_KNOWN_LABELS = [
+    "phishing", "malware", "access_abuse", "data_exfiltration",
+    "policy_violation", "web_attack", "benign_activity",
+]
+
+
+def _normalize_label_sql(c: str) -> str:
+    known = ", ".join(_sql_quote(x) for x in _KNOWN_LABELS)
+    return (
+        f"CASE WHEN {c} = 'ransomware' THEN 'malware' "
+        f"WHEN {c} = 'brute_force_attack' THEN 'access_abuse' "
+        f"WHEN {c} IN ({known}) THEN {c} ELSE 'uncertain' END"
+    )
+
+
+def _claimed_sql() -> str:
+    lst = ", ".join(_sql_quote(x) for x in _CLAIM_LABELS)
+    return f"(([{lst}])[(doc_id % {len(_CLAIM_LABELS)}) + 1])"
+
+
+def _haskw_sql(tcol: str, words: list[str]) -> str:
+    lst = ", ".join(_sql_quote(w) for w in words)
+    return f"len(list_filter([{lst}], k -> contains({tcol}, k))) > 0"
+
+
+def _keyword_gate_sql() -> str:
+    hits = ",\n    ".join(
+        f"{_haskw_sql('t', kws)} AS h_{name}" for name, kws in kg.KEYWORDS_BY_LABEL
+    )
+    down = " ".join(
+        f"WHEN claimed_norm = {_sql_quote(name)} AND NOT h_{name} THEN 'uncertain'"
+        for name, _ in kg.KEYWORDS_BY_LABEL
+    )
+    promo = " ".join(
+        f"WHEN h_{name} THEN {_sql_quote(name)}" for name, _ in kg.KEYWORDS_BY_LABEL
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, lower(text) AS t, {_claimed_sql()} AS claimed FROM documents),
+n AS (
+  SELECT doc_id, t, {_normalize_label_sql('claimed')} AS claimed_norm FROM c),
+h AS (
+  SELECT doc_id, claimed_norm,
+    {hits},
+    regexp_matches(t, {_sql_quote(kg.PHISHING_RE)}) AS h_phish
+  FROM n),
+g AS (
+  SELECT doc_id, claimed_norm,
+    CASE {down}
+         WHEN claimed_norm = 'phishing' AND NOT h_phish THEN 'uncertain'
+         ELSE claimed_norm END AS gated_label,
+    {", ".join(f"h_{name}" for name, _ in kg.KEYWORDS_BY_LABEL)}, h_phish
+  FROM h)
+SELECT doc_id, claimed_norm, gated_label,
+  CASE WHEN gated_label <> 'uncertain' THEN gated_label
+       {promo}
+       WHEN h_phish THEN 'phishing'
+       ELSE 'uncertain' END AS final_label
+FROM g
+"""
+
+
+@register("ft_keyword_gate", _keyword_gate_sql())
+def ft_keyword_gate(spark, sf_dir):
+    """M11 keyword-evidence gates (/root/reference/src/triage/cli.py:
+    641-1068): claimed labels are synthesized deterministically from
+    doc_id (incl. synonyms and junk), then normalized, evidence-gated
+    (downgrade) and keyword-promoted exactly as the reference."""
+    claimed = F.element_at(
+        F.array(*[F.lit(x) for x in _CLAIM_LABELS]),
+        ((F.col("doc_id") % len(_CLAIM_LABELS)) + 1).cast("int"),
+    )
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", claimed.alias("claimed_label")
+    )
+    return kg.keyword_evidence_gate(d).select(
+        "doc_id", "claimed_norm", "gated_label", "final_label"
+    )
+
+
+def _ioc_enriched_sql() -> str:
+    return (
+        "text || ' from 172.16.' || CAST(doc_id % 250 AS VARCHAR) ||"
+        " '.9 see https://cdn' || CAST(doc_id % 5 AS VARCHAR) ||"
+        " '.example.net/a contact ops' || CAST(doc_id % 3 AS VARCHAR) ||"
+        " '@mail.example.org'"
+    )
+
+
+def _ioc_enriched_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" from 172.16."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(".9 see https://cdn"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.net/a contact ops"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("@mail.example.org"),
+    )
+
+
+def _ioc_list_sql(tcol: str) -> str:
+    return (
+        "list_distinct(list_transform(flatten(["
+        f"regexp_extract_all({tcol}, {_sql_quote(txt.URL_RE)}), "
+        f"regexp_extract_all({tcol}, {_sql_quote(txt.EMAIL_RE)}), "
+        f"regexp_extract_all({tcol}, {_sql_quote(txt.IPV4_RE)}), "
+        f"regexp_extract_all(lower({tcol}), {_sql_quote(txt.DOMAIN_RE)})"
+        "]), x -> lower(x)))"
+    )
+
+
+@register(
+    "ft_extract_iocs",
+    f"""
+WITH e AS (SELECT doc_id, {_ioc_enriched_sql()} AS t FROM documents)
+SELECT doc_id, array_to_string(list_sort({_ioc_list_sql('t')}), ' ') AS iocs
+FROM e
+""",
+)
+def ft_extract_iocs(spark, sf_dir):
+    """F3 IOC extraction (/root/reference/src/triage/cli.py:187-213) over
+    deterministically indicator-enriched documents; sorted + joined for
+    cross-engine hashing."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _ioc_enriched_col().alias("t")
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(txt.extract_iocs(F.col("t"))), " ").alias("iocs"),
+    )
+
+
+@register(
+    "ft_mitre_ids",
+    f"""
+WITH e AS (SELECT doc_id,
+  text || ' uses T1' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       || ' and T1566.002 plus X9999' AS t FROM documents)
+SELECT doc_id,
+  array_to_string(list_sort(list_distinct(
+    regexp_extract_all(t, {_sql_quote(txt.MITRE_RE)}))), ' ') AS mitre_ids
+FROM e
+""",
+)
+def ft_mitre_ids(spark, sf_dir):
+    """F5 MITRE technique-ID extraction (T#### / T####.###)."""
+    t = F.concat(
+        F.col("text"),
+        F.lit(" uses T1"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" and T1566.002 plus X9999"),
+    )
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.array_sort(txt.extract_mitre_ids(t)), " ").alias("mitre_ids"),
+    )
+
+
+_SEV_LABELS = ["critical", "high", "medium", "low", "info"]
+
+
+@register(
+    "ft_risk_score",
+    f"""
+SELECT doc_id,
+  round(least(greatest(
+    CASE (['critical','high','medium','low','info'])[(doc_id % 5) + 1]
+         WHEN 'critical' THEN 40.0 WHEN 'high' THEN 30.0
+         WHEN 'medium' THEN 20.0 WHEN 'low' THEN 10.0 ELSE 5.0 END
+    + ((doc_id % 100) / 100.0) * 30.0
+    + least(length(text) / 100.0, 10.0)
+    + least(len({_ioc_list_sql('text')}) * 5.0, 20.0),
+  0.0), 100.0), 2) AS risk
+FROM documents
+""",
+)
+def ft_risk_score(spark, sf_dir):
+    """F11 composite risk score (/root/reference/ui_premium.py:1398-1443):
+    severity map x confidence x length/IOC weights, clamped 0-100.
+    Severity/confidence synthesized deterministically from doc_id."""
+    sev = F.element_at(
+        F.array(*[F.lit(x) for x in _SEV_LABELS]),
+        ((F.col("doc_id") % 5) + 1).cast("int"),
+    )
+    conf = (F.col("doc_id") % 100) / 100.0
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", txt.risk_score(sev, conf, F.col("text")).alias("risk")
+    )
+
+
+@register(
+    "ft_uncertainty_band",
+    """
+SELECT doc_id,
+  CASE WHEN (doc_id % 100) / 100.0 < 0.5 THEN 'high'
+       WHEN (doc_id % 100) / 100.0 < 0.8 THEN 'medium'
+       ELSE 'low' END AS band
+FROM documents
+""",
+)
+def ft_uncertainty_band(spark, sf_dir):
+    """F13 uncertainty banding (/root/reference/src/triage/cli.py:1174)."""
+    prob = (F.col("doc_id") % 100) / 100.0
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", txt.uncertainty_band(prob).alias("band")
+    )
+
+
+@register(
+    "ft_normalize_label",
+    f"""
+WITH c AS (SELECT doc_id, {_claimed_sql()} AS claimed FROM documents)
+SELECT doc_id, claimed, {_normalize_label_sql('claimed')} AS norm_label FROM c
+""",
+)
+def ft_normalize_label(spark, sf_dir):
+    """F16 label synonym/taxonomy normalization
+    (/root/reference/src/triage/cli.py:624-633)."""
+    claimed = F.element_at(
+        F.array(*[F.lit(x) for x in _CLAIM_LABELS]),
+        ((F.col("doc_id") % len(_CLAIM_LABELS)) + 1).cast("int"),
+    )
+    d = tbl(spark, sf_dir, "documents").select("doc_id", claimed.alias("claimed"))
+    return d.select(
+        "doc_id", "claimed", txt.normalize_label(F.col("claimed")).alias("norm_label")
+    )
+
+
+@register(
+    "rel_topk_offset",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10 OFFSET 10
+""",
+)
+def rel_topk_offset(spark, sf_dir):
+    """T1 OFFSET pagination (/root/reference/src/triage/database.py:520-521):
+    page 2 of the price-ranked orders (rows 11-20)."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(10)
     )

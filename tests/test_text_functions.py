@@ -21,8 +21,11 @@ def test_clean_description_properties(spark):
     cases = {
         "Check https://evil.example.com/x NOW": "check url now",
         "user uploaded to gdrive yesterday": "user uploaded to googledrive yesterday",
+        "files went to box.com overnight": "files went to box overnight",
         "ping 192.168.1.10 failed": "ping ipaddr failed",
         "saw /usr/local/bin/malware.sh run": "saw filepath run",
+        "ran /tmp alone": "ran filepath alone",  # ANY /-token is a path (spec)
+        "blob aGVsbG8gd29ybGQgZm9vYmFy here": "blob encoded here",
         "": "",
         "   ": "",
         "Port 443 and 80": "port and",
@@ -34,6 +37,86 @@ def test_clean_description_properties(spark):
         once = _one(spark, tf.clean_description(F.col("s")), raw)
         again = _one(spark, tf.clean_description(F.col("s")), once)
         assert once == again
+    # parity with the reference implementation, re-run in pure Python
+    import re
+
+    def ref_clean(text):  # /root/reference/src/triage/preprocess.py:4-48
+        text = text.lower()
+        for pat, rep in tf.CLEAN_STEPS:
+            text = re.sub(pat, rep, text)
+        return text.strip()
+
+    for raw in list(cases) + [
+        "C:\\Users\\bob\\evil.exe dropped", "www.bad.site linked",
+        "google  drive sync", "A1b2+== mixed Z9/z8 ok",
+    ]:
+        assert _one(spark, tf.clean_description(F.col("s")), raw) == ref_clean(raw)
+
+
+def test_sanitize_text(spark):
+    got = _one(spark, tf.sanitize_text(F.col("s")),
+               "a – b — c ,Àì d Àì e é∆  f")
+    assert got == "a - b - c, d e f"
+    # ASCII-only output, idempotent
+    assert all(ord(ch) < 128 for ch in got)
+    assert _one(spark, tf.sanitize_text(F.col("s")), got) == got
+
+
+def test_lenient_json(spark):
+    valid = '{"label": "malware", "mitre_ids": ["T1059", "T1027"]}'
+    broken = '{"label": "phishing", "mitre_ids": ["T1566"]'   # truncated
+    hopeless = "no json at all"
+    for s, want in [(valid, "malware"), (broken, "phishing"), (hopeless, None)]:
+        assert _one(spark, tf.lenient_json_field(F.col("s"), "label"), s) == want
+    assert _one(spark, tf.lenient_json_string_list(F.col("s"), "mitre_ids"),
+                valid) == "T1059,T1027"
+    assert _one(spark, tf.lenient_json_string_list(F.col("s"), "mitre_ids"),
+                broken) == "T1566"
+
+
+def test_siem_search_patterns(spark):
+    s = ("beacon to 10.9.8.7 fetched https://evil.example.net/x "
+         "dropped payload.exe emailed bob@corp.example user: j.doe")
+    pats = tf.siem_search_patterns(F.col("s"))
+    row = {n: _one(spark, c, s) for n, c in pats.items()}
+    assert row["ip_query"] == "src_ip:10.9.8.7 OR dst_ip:10.9.8.7"
+    assert row["domain_query"] == 'url:"*evil.example.net*" OR domain:"evil.example.net"'
+    assert row["file_query"] == 'file_name:"payload.exe"'
+    assert row["email_query"] == 'sender:"bob@corp.example" OR recipient:"bob@corp.example"'
+    assert row["user_query"] == 'user:"j.doe"'
+    assert row["fallback_query"] is None
+    # nothing matched -> fallback fires
+    empty = {n: _one(spark, c, "quiet day no indicators") for n, c in
+             tf.siem_search_patterns(F.col("s")).items()}
+    assert empty["fallback_query"] == "event_type:security"
+    assert empty["ip_query"] is None
+
+
+def test_keyword_evidence_gate(spark):
+    from alertsage_spark.functions import keyword_gates as kg
+
+    rows = [
+        # claimed malware + malware keyword -> kept
+        (1, "EDR alert fired: malicious payload beacon to c2", "malware"),
+        # claimed malware, no malware evidence -> downgraded (no other kw)
+        (2, "quiet day nothing happened", "malware"),
+        # claimed exfil, no exfil kw but malware kw -> downgrade then promote
+        (3, "ransom note found after encryption", "data_exfiltration"),
+        # synonym normalize + keyword kept
+        (4, "ransomware encrypted the share", "ransomware"),
+        # uncertain + phishing regex -> promoted to phishing
+        (5, "suspicious email with a link clicked", "uncertain"),
+        # junk label + nothing -> uncertain
+        (6, "totally fine day no incident", "junk_label"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, claimed_label string")
+    out = {r["doc_id"]: r for r in kg.keyword_evidence_gate(df).collect()}
+    assert out[1]["final_label"] == "malware"
+    assert out[2]["gated_label"] == "uncertain" and out[2]["final_label"] == "uncertain"
+    assert out[3]["gated_label"] == "uncertain" and out[3]["final_label"] == "malware"
+    assert out[4]["claimed_norm"] == "malware" and out[4]["final_label"] == "malware"
+    assert out[5]["final_label"] == "phishing"
+    assert out[6]["final_label"] == "uncertain"
 
 
 def test_extract_iocs(spark):
