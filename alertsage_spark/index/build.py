@@ -60,6 +60,7 @@ class InvertedIndex:
     termstats: DataFrame  # (term string, df long, cf long)
     n_docs: int
     avgdl: float
+    mode: str = "text"  # tokenizer mode; query_terms must reuse it
 
     def cache(self) -> "InvertedIndex":
         self.doclen.cache()
@@ -106,6 +107,7 @@ def build_index(
         termstats=termstats,
         n_docs=int(row["n"]),
         avgdl=float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        mode=mode,
     )
 
 

@@ -6,13 +6,29 @@ compacts every (shard_id, term) to ONE row with a single sorted,
 delta+varbyte re-encoded posting list and fresh block metadata, and
 every shard's doclen rows to one row.
 
-Plan: segments.groupBy(shard_id, term) -> applyInPandas(linear merge of
-decoded sorted runs, re-encode). The group key is (shard, term), so a
-hot term is still spread over all shards — no single reducer sees more
-than one shard's slice of it.
+Plan: segments.groupBy(shard_id) -> applyInPandas(shard merger). Each
+task first merges ITS shard's doclen rows (partition-local — no
+driver-side corpus map, no broadcast), then linear-merges every term's
+decoded runs against that local doc-length array. Document-sharding
+keeps this balanced: a hot term contributes at most one run per
+(group, shard), and task memory is corpus/n_shards — the same memory
+shape as the build stage itself, with n_shards as the scaling knob
+(at 10^12 docs you raise n_shards, exactly as for the build).
+
+Determinism on re-ingested docs (same doc_id in several runs): the
+posting merge keeps max-tf and the doclen merge keeps max-dl — the
+SAME rule, so tf and dl always describe the same surviving document
+version regardless of run order.
+
+Global stats are RECOMPUTED from the merged segments (salted termstats
++ doclen re-aggregation), never copied from the source index: the
+source's df/cf/n_docs/avgdl double-count re-ingested docs.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -28,51 +44,60 @@ from alertsage_spark.index.segments import (
     _doclen_row,
     decode_doclen_row,
     load_index,
+    salted_termstats_from_segments,
 )
 
 
-def _merge_builder(dl_map_bc):
+def _shard_merger():
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
-        term = key[1]
-        if term is None or (isinstance(term, float) and np.isnan(term)):
-            # merge the shard's doclen rows
-            docs_all, dls_all = [], []
-            for _, r in pdf.iterrows():
-                d, l = decode_doclen_row(r)
-                docs_all.append(d)
-                dls_all.append(l)
-            docs = np.concatenate(docs_all)
-            dls = np.concatenate(dls_all)
-            uniq, idx = np.unique(docs, return_index=True)
-            return pd.DataFrame(
-                [_doclen_row(shard_id, uniq, dls[idx])], columns=_SEG_COLS
-            )
-        docs_runs, tfs_runs = [], []
-        for _, r in pdf.iterrows():
-            d, t = decode_posting_list(r)
-            docs_runs.append(d)
-            tfs_runs.append(t)
-        docs = np.concatenate(docs_runs)
-        tfs = np.concatenate(tfs_runs)
-        order = np.argsort(docs, kind="stable")
-        docs, tfs = docs[order], tfs[order]
-        uniq = np.unique(docs)
-        if len(uniq) != len(docs):
-            # same doc in two runs (re-ingested): deterministic max-tf wins
-            agg = np.zeros(len(uniq), dtype=np.int64)
-            np.maximum.at(agg, np.searchsorted(uniq, docs), tfs)
-            docs, tfs = uniq, agg
-        dl_map = dl_map_bc.value
-        dls = np.array([dl_map[int(d)] for d in docs], dtype=np.int64)
-        enc = encode_posting_list(docs, tfs, dls)
-        return pd.DataFrame(
-            [
+        isnull = pdf["term"].isna()
+        # 1) merge the shard's doclen rows; re-ingested docs keep MAX dl
+        #    (the same deterministic rule as the max-tf posting merge)
+        docs_all, dls_all = [], []
+        for _, r in pdf[isnull].iterrows():
+            d, l = decode_doclen_row(r)
+            docs_all.append(d)
+            dls_all.append(l)
+        docs = np.concatenate(docs_all)
+        dls = np.concatenate(dls_all)
+        uniq_docs = np.unique(docs)
+        dl_merged = np.zeros(len(uniq_docs), dtype=np.int64)
+        np.maximum.at(dl_merged, np.searchsorted(uniq_docs, docs), dls)
+        out = [_doclen_row(shard_id, uniq_docs, dl_merged)]
+        # 2) merge each term's runs against the local doc-length array
+        for term, grp in pdf[~isnull].groupby("term", sort=False):
+            docs_runs, tfs_runs = [], []
+            for _, r in grp.iterrows():
+                d, t = decode_posting_list(r)
+                docs_runs.append(d)
+                tfs_runs.append(t)
+            d = np.concatenate(docs_runs)
+            t = np.concatenate(tfs_runs)
+            order = np.argsort(d, kind="stable")
+            d, t = d[order], t[order]
+            u = np.unique(d)
+            if len(u) != len(d):
+                # same doc in two runs (re-ingested): deterministic max-tf
+                agg = np.zeros(len(u), dtype=np.int64)
+                np.maximum.at(agg, np.searchsorted(u, d), t)
+                d, t = u, agg
+            idx = np.searchsorted(uniq_docs, d)
+            if idx.max(initial=-1) >= len(uniq_docs) or not np.array_equal(
+                uniq_docs[idx], d
+            ):
+                raise ValueError(
+                    f"shard {shard_id} term {term!r}: posting doc_id absent from "
+                    "the shard's doclen rows — groups built with a different "
+                    "n_shards/layout were appended to this index"
+                )
+            enc = encode_posting_list(d, t, dl_merged[idx])
+            out.append(
                 {
                     "shard_id": shard_id,
                     "term": term,
-                    "df_local": int(len(docs)),
-                    "cf_local": int(tfs.sum()),
+                    "df_local": int(len(d)),
+                    "cf_local": int(t.sum()),
                     "n_postings": enc["n_postings"],
                     "doc_bytes": enc["doc_bytes"],
                     "tf_bytes": enc["tf_bytes"],
@@ -82,41 +107,70 @@ def _merge_builder(dl_map_bc):
                     "block_doc_offsets": enc["block_doc_offsets"],
                     "block_tf_offsets": enc["block_tf_offsets"],
                 }
-            ],
-            columns=_SEG_COLS,
-        )
+            )
+        return pd.DataFrame(out, columns=_SEG_COLS)
 
     return fn
 
 
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str) -> SegmentIndex:
     """Compact all groups of ``index_dir`` into one merged segment set at
-    ``out_dir`` (stats/termstats/manifest are carried over)."""
-    import os
-    import shutil
-
+    ``out_dir``; termstats and stats.json are RECOMPUTED from the merged
+    rows (re-ingested docs counted once). The manifest (build lineage)
+    carries over."""
     idx = load_index(spark, index_dir)
-    # doc lengths: broadcast a corpus-wide map at fixture scale; at 10^12
-    # docs the merge would cogroup each shard's doclen row instead (same
-    # shape as the wand.py scorer)
-    dl_map: dict[int, int] = {}
-    for r in idx.doclen_rows.collect():
-        d, l = decode_doclen_row(r)
-        dl_map.update(zip(d.tolist(), l.tolist()))
-    dl_map_bc = spark.sparkContext.broadcast(dl_map)
-    merged = idx.segments.groupBy("shard_id", "term").applyInPandas(
-        _merge_builder(dl_map_bc), schema=SEGMENT_SCHEMA
-    )
+    src = IndexPaths(index_dir)
+    n_shards = int(idx.stats.get("n_shards", 0)) or None
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    merged.sortWithinPartitions("term").write.mode("overwrite").parquet(
-        paths.group_dir(0)
+
+    # one shard per reduce task, same conf dance as the build (AQE's
+    # coalescer would otherwise pack shards into uneven fat tasks)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    if n_shards:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_shards))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        merged = idx.segments.groupBy("shard_id").applyInPandas(
+            _shard_merger(), schema=SEGMENT_SCHEMA
+        )
+        merged.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            paths.group_dir(0)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
+
+    segs = spark.read.option(
+        "basePath", os.path.join(paths.root, "segments")
+    ).parquet(paths.segments_glob)
+    salted_termstats_from_segments(segs).write.mode("overwrite").parquet(
+        paths.termstats
     )
-    idx.termstats.write.mode("overwrite").parquet(paths.termstats)
-    shutil.copyfile(IndexPaths(index_dir).stats_json, paths.stats_json)
-    src = IndexPaths(index_dir)
-    if os.path.exists(src.config_json):
-        shutil.copyfile(src.config_json, paths.config_json)
+    dl_row = segs.filter(F.col("term").isNull()).agg(
+        F.sum("df_local").alias("n"), F.sum("cf_local").alias("s")
+    ).collect()[0]
+    n = int(dl_row["n"] or 0)
+    stats = dict(idx.stats)
+    stats.update(
+        {
+            "n_docs": n,
+            "avgdl": (int(dl_row["s"] or 0) / n) if n else 0.0,
+            "n_groups": 1,
+        }
+    )
+    with open(paths.stats_json, "w") as f:
+        json.dump(stats, f)
+    config = {
+        "n_shards": stats.get("n_shards"),
+        "n_groups": 1,
+        "mode": stats.get("mode", "text"),
+    }
+    with open(paths.config_json, "w") as f:
+        json.dump(config, f)
     if os.path.exists(src.manifest):
         spark.read.parquet(src.manifest).write.mode("overwrite").parquet(paths.manifest)
     return load_index(spark, out_dir)

@@ -435,6 +435,42 @@ def build_segments(
     return {"stats": stats, "metrics": metrics}
 
 
+def append_group(spark: SparkSession, dst_dir: str, src_dir: str) -> int:
+    """The SUPPORTED way to append another build's segment group(s) to an
+    existing index (LSM ingest). Validates build-config compatibility
+    first: a group built with a different n_shards or tokenizer mode has
+    a different doc->shard layout and would silently produce wrong doc
+    lengths / non-deduplicable re-ingests (ADVICE r01). Copies every
+    source group under the next free group ids and returns how many
+    groups were appended. Caller re-finalizes stats (or runs
+    merge_segments, which recomputes them)."""
+    import shutil
+
+    dst, src = IndexPaths(dst_dir), IndexPaths(src_dir)
+    with open(dst.config_json) as f:
+        dcfg = json.load(f)
+    with open(src.config_json) as f:
+        scfg = json.load(f)
+    for k in ("n_shards", "mode"):
+        if dcfg.get(k) != scfg.get(k):
+            raise ValueError(
+                f"append_group: incompatible build config ({k}: "
+                f"{dcfg.get(k)!r} != {scfg.get(k)!r}); groups from a "
+                "different doc->shard layout cannot be appended"
+            )
+    import glob as _glob
+
+    existing = _glob.glob(os.path.join(dst.root, "segments", "group=*"))
+    next_g = 1 + max(
+        (int(p.rsplit("=", 1)[1]) for p in existing), default=-1
+    )
+    n = 0
+    for p in sorted(_glob.glob(os.path.join(src.root, "segments", "group=*"))):
+        shutil.copytree(p, dst.group_dir(next_g + n))
+        n += 1
+    return n
+
+
 @dataclass
 class SegmentIndex:
     segments: DataFrame  # term rows AND term=NULL doclen rows

@@ -31,14 +31,23 @@ from alertsage_spark.index.build import B, K1, InvertedIndex, idf_col
 from alertsage_spark.tokenizer import tokenize_col
 
 
-def query_terms(queries: DataFrame, id_col: str = "query_id", text_col: str = "query_text") -> DataFrame:
-    """Distinct (query_id, term) pairs using THE SAME tokenizer as the
-    index build (train/infer parity — the reference's one invariant,
-    /root/reference/src/triage/preprocess.py applied at both
-    notebooks/02 cell 3 and cli.py:1236)."""
+def query_terms(
+    queries: DataFrame,
+    id_col: str = "query_id",
+    text_col: str = "query_text",
+    mode: str = "text",
+) -> DataFrame:
+    """Distinct (query_id, term) pairs using THE SAME tokenizer (and the
+    same tokenizer MODE) as the index build (train/infer parity — the
+    reference's one invariant, /root/reference/src/triage/preprocess.py
+    applied at both notebooks/02 cell 3 and cli.py:1236). A code-mode
+    index queried with text-mode terms would silently miss trigrams, so
+    bm25_topk threads ``index.mode`` through here."""
     return queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("term"),
+        F.explode(
+            F.array_distinct(tokenize_col(F.col(text_col), mode=mode))
+        ).alias("term"),
     )
 
 
@@ -72,7 +81,7 @@ def bm25_topk(
     threshold gate (/root/reference/src/triage/cli.py:1254): hits below
     the cutoff are dropped before ranking.
     """
-    scores = bm25_scores(index, query_terms(queries, id_col, text_col))
+    scores = bm25_scores(index, query_terms(queries, id_col, text_col, mode=index.mode))
     if min_score is not None:
         scores = scores.filter(F.col("score") >= float(min_score))
     w = Window.partitionBy("query_id").orderBy(

@@ -220,7 +220,15 @@ def taat_topk_shard(
             tfs_all.append(varbyte_decode(row["tf_bytes"][to[bi]: to[bi + 1]]).astype(np.float64))
         docs = np.concatenate(deltas_all)
         tfs = np.concatenate(tfs_all)
-        dl = dl_vals[np.searchsorted(dl_docs, docs)].astype(np.float64)
+        dl_idx = np.searchsorted(dl_docs, docs)
+        if dl_idx.max(initial=-1) >= len(dl_docs) or not np.array_equal(
+            dl_docs[dl_idx], docs
+        ):
+            raise ValueError(
+                "posting doc_id absent from the shard's doclen rows — a group "
+                "built with a different n_shards/layout was appended"
+            )
+        dl = dl_vals[dl_idx].astype(np.float64)
         scores = idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dl / avgdl))
         all_docs.append(docs)
         all_scores.append(scores)

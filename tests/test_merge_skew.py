@@ -71,7 +71,8 @@ def test_incremental_append_then_merge(spark, code_docs, tmp_path):
 
     b_dir = tmp_path / "b"
     build_segments(spark, half_b, str(b_dir), n_shards=4, n_groups=1, build_id="B")
-    shutil.copytree(IndexPaths(str(b_dir)).group_dir(0), paths.group_dir(1))
+    from alertsage_spark.index.segments import append_group
+    assert append_group(spark, str(d), str(b_dir)) == 1
     # merged compaction + recomputed global stats/termstats
     merged_dir = tmp_path / "merged"
     # refresh stats/termstats over both groups before merge
@@ -124,3 +125,78 @@ def test_hot_term_spread_across_shards(spark, code_docs, tmp_path):
     counts = [r["n_postings"] for r in rows]
     fair = sum(counts) / len(counts)
     assert max(counts) <= 3 * fair
+
+
+def test_reingest_merge_recomputes_stats(spark, code_docs, tmp_path):
+    """ADVICE r01: re-ingesting the SAME docs must not double-count
+    df/cf/n_docs/avgdl after merge — stats are recomputed from the merged
+    segments, and queries over the merged index are exact vs an oracle
+    over the DEDUPED corpus."""
+    import json
+
+    from alertsage_spark.index.segments import IndexPaths
+
+    d = tmp_path / "reingest"
+    sub = code_docs.limit(60).cache()
+    build_segments(spark, sub, str(d), n_shards=4, n_groups=1, build_id="A")
+    # re-ingest HALF the same docs as a second group (identical content)
+    import shutil
+
+    half = sub.filter(F.col("doc_id") % 2 == 0)
+    b_dir = tmp_path / "reingest_b"
+    build_segments(spark, half, str(b_dir), n_shards=4, n_groups=1, build_id="B")
+    from alertsage_spark.index.segments import append_group
+    assert append_group(spark, str(d), str(b_dir)) == 1
+
+    merged = merge_segments(spark, str(d), str(tmp_path / "reingest_merged"))
+
+    # one row per (shard, term); stats reflect the DEDUPED corpus
+    assert merged.segments.groupBy("shard_id", "term").count().filter("count > 1").count() == 0
+    n_unique = sub.count()
+    assert merged.stats["n_docs"] == n_unique
+    # termstats: df for any term may not exceed n_docs (double count would)
+    over = merged.termstats.filter(F.col("df") > n_unique).count()
+    assert over == 0
+    # avgdl equals the deduped corpus's avgdl (compare vs fresh build)
+    fresh_dir = tmp_path / "reingest_fresh"
+    build_segments(spark, sub, str(fresh_dir), n_shards=4, n_groups=1, build_id="F")
+    fresh = load_index(spark, str(fresh_dir))
+    assert abs(merged.stats["avgdl"] - fresh.stats["avgdl"]) < 1e-9
+    # termstats identical to the fresh single-ingest build
+    diff = (
+        merged.termstats.alias("m")
+        .join(fresh.termstats.alias("f"), "term", "full")
+        .filter("m.df IS DISTINCT FROM f.df OR m.cf IS DISTINCT FROM f.cf")
+        .count()
+    )
+    assert diff == 0
+
+    # rank identity vs oracle over the deduped corpus
+    oracle = BM25Oracle([(r["doc_id"], r["text"]) for r in sub.collect()])
+    for algo in ("wand", "taat"):
+        got = {}
+        for r in wand_topk(spark, merged, [("Q", "spark index")], k=10, algo=algo).collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+        expected = oracle.topk("spark index", k=10)
+        hits = sorted(got.get("Q", []))
+        assert [h[1] for h in hits] == [e[0] for e in expected], algo
+        for h, e in zip(hits, expected):
+            assert abs(h[2] - e[1]) <= 1e-6
+
+
+def test_append_group_rejects_incompatible_layout(spark, code_docs, tmp_path):
+    """Appending a group built with different n_shards or mode must be
+    refused (a foreign doc->shard layout scores with wrong doc lengths
+    and defeats re-ingest dedup)."""
+    from alertsage_spark.index.segments import append_group
+
+    a = tmp_path / "lay_a"
+    build_segments(spark, code_docs.limit(20), str(a), n_shards=4, n_groups=1)
+    b8 = tmp_path / "lay_b8"
+    build_segments(spark, code_docs.limit(20), str(b8), n_shards=8, n_groups=1)
+    with pytest.raises(ValueError, match="n_shards"):
+        append_group(spark, str(a), str(b8))
+    bc = tmp_path / "lay_bc"
+    build_segments(spark, code_docs.limit(20), str(bc), n_shards=4, n_groups=1, mode="code")
+    with pytest.raises(ValueError, match="mode"):
+        append_group(spark, str(a), str(bc))
