@@ -23,18 +23,26 @@ Python oracle — property-tested):
   * ``taat``: vectorized term-at-a-time — decode all matched postings,
     one np.add.at group-sum, exact top-k with rounded-tie margin. Zero
     per-row Python; optimal for few/selective terms or small shards.
-  * ``wand``: Block-Max WAND (public algorithm: Broder et al. WAND +
-    Ding & Suel block-max bounds): doc-at-a-time pivoting with per-block
-    upper bounds idf * norm(block_max_tf, block_min_dl) — valid because
-    the BM25 tf-norm is monotone in tf and anti-monotone in dl. Skips
-    decoding blocks that cannot beat the running top-k threshold; wins at
-    scale on long posting lists. Exactness is protected by an epsilon
-    margin (1e-5) under the rounded tie-break comparator.
+  * ``wand``: vectorized Block-Max evaluation (the block-skipping idea
+    of Broder et al. WAND + Ding & Suel block-max bounds, restructured
+    for SIMD instead of doc-at-a-time cursors): the doc-id space is cut
+    into windows at the union of all terms' block boundaries, so each
+    window is covered by exactly one block per term; window upper
+    bounds are the sums of per-block bounds idf * norm(block_max_tf,
+    block_min_dl) — valid because the BM25 tf-norm is monotone in tf
+    and anti-monotone in dl. Windows are processed in DESCENDING
+    upper-bound order with whole-window numpy scoring (every doc in a
+    processed window gets its full exact score, since the window's
+    covering blocks contain all of its postings); processing stops as
+    soon as the best remaining window bound cannot beat the running
+    kth-best exact score minus the rounding margin. Per-window work is
+    numpy over whole blocks — no per-document Python. Exactness is
+    protected by the 1e-6 margin under the rounded tie-break
+    comparator (property-tested vs the oracle and vs TAAT).
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import Iterable
 
 import numpy as np
@@ -54,151 +62,154 @@ from alertsage_spark.index.segments import SegmentIndex, decode_doclen_row
 from alertsage_spark.tokenizer import tokenize_py
 
 THETA_EPS = 1e-5
+# terms with at most this many postings are decoded eagerly so their
+# bounds charge only posting-bearing windows (see wand_topk_shard)
+EAGER_DECODE_POSTINGS = 4096
+# idf at/above which a term counts as "selective" for the auto scorer
+# choice (roughly df <= n_docs/100)
+IDF_SELECTIVE = 4.6
 
 
 def _idf(df: int, n_docs: int) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
-class PostingIterator:
-    """Cursor over one term's compressed blocks with block skipping."""
+def _check_dl_coverage(dl_docs: np.ndarray, dl_idx: np.ndarray, docs: np.ndarray):
+    if dl_idx.max(initial=-1) >= len(dl_docs) or not np.array_equal(
+        dl_docs[dl_idx], docs
+    ):
+        raise ValueError(
+            "posting doc_id absent from the shard's doclen rows — a group "
+            "built with a different n_shards/layout was appended"
+        )
 
-    __slots__ = ("row", "idf", "avgdl", "n_blocks", "last_docs", "bounds",
-                 "block_idx", "docs", "tfs", "pos", "exhausted", "global_ub")
 
-    def __init__(self, row: dict, idf: float, avgdl: float) -> None:
-        self.row = row
-        self.idf = idf
-        self.avgdl = avgdl
-        self.last_docs = np.asarray(row["block_last_docs"], dtype=np.int64)
-        self.n_blocks = len(self.last_docs)
-        # per-block upper bound: idf * norm(max_tf, min_dl) — computed at
-        # query time from the stored (max_tf, min_dl) pairs + global avgdl
-        self.bounds = (
+def wand_topk_shard(
+    term_rows: list[tuple[dict, float]],
+    dl_docs: np.ndarray,
+    dl_vals: np.ndarray,
+    k: int,
+    avgdl: float,
+) -> list[tuple[int, float]]:
+    """Vectorized Block-Max evaluation over one shard (exact top-k).
+
+    The doc-id space is partitioned into windows at the union of all
+    terms' block-boundary doc ids; each window is covered by exactly one
+    block per term, so scoring a window yields FULL exact scores for
+    every doc in it. Windows run in descending upper-bound order; the
+    loop stops when the best remaining bound cannot beat the running
+    kth-best exact score minus the rounding margin. Blocks are decoded
+    lazily at most once; skipped windows' blocks are never decoded.
+    """
+    lasts, bounds, idfs, rows = [], [], [], []
+    for row, idf in term_rows:
+        ld = np.asarray(row["block_last_docs"], dtype=np.int64)
+        if len(ld) == 0:
+            continue
+        lasts.append(ld)
+        bounds.append(
             idf
             * bm25_norm(
                 np.asarray(row["block_max_tfs"], dtype=np.int64),
                 np.asarray(row["block_min_dls"], dtype=np.int64),
                 avgdl,
             )
-            if self.n_blocks
-            else np.empty(0)
         )
-        self.global_ub = float(self.bounds.max()) if self.n_blocks else 0.0
-        self.block_idx = -1
-        self.exhausted = self.n_blocks == 0
-        self.docs = np.empty(0, dtype=np.int64)
-        self.tfs = np.empty(0, dtype=np.int64)
-        self.pos = 0
-        if not self.exhausted:
-            self._load_block(0)
-
-    def _load_block(self, bi: int) -> None:
-        self.block_idx = bi
-        self.docs, self.tfs = decode_block(self.row, bi)
-        self.pos = 0
-
-    @property
-    def cur_doc(self) -> int:
-        return int(self.docs[self.pos])
-
-    @property
-    def cur_tf(self) -> int:
-        return int(self.tfs[self.pos])
-
-    def block_ub(self) -> float:
-        return float(self.bounds[self.block_idx])
-
-    def block_last(self) -> int:
-        return int(self.last_docs[self.block_idx])
-
-    def seek(self, target: int) -> None:
-        """Advance to the first doc >= target (block-skip via last_docs)."""
-        if self.exhausted or self.cur_doc >= target:
-            return
-        if target > self.block_last():
-            bi = int(np.searchsorted(self.last_docs, target, side="left"))
-            if bi >= self.n_blocks:
-                self.exhausted = True
-                return
-            self._load_block(bi)
-        self.pos = int(np.searchsorted(self.docs, target, side="left"))
-        if self.pos >= len(self.docs):  # defensive; implies block scan bug
-            self.exhausted = True
-
-    def advance(self) -> None:
-        self.pos += 1
-        if self.pos >= len(self.docs):
-            if self.block_idx + 1 < self.n_blocks:
-                self._load_block(self.block_idx + 1)
-            else:
-                self.exhausted = True
-
-
-def _score_tf(tf: float, dl: float, idf: float, avgdl: float) -> float:
-    return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-
-
-def wand_topk_shard(
-    iters: list[PostingIterator],
-    dl_lookup,
-    k: int,
-    avgdl: float,
-) -> list[tuple[int, float]]:
-    """Block-Max WAND over one shard. Returns [(doc_id, exact_score)] of
-    all fully-evaluated docs that were in the running top-k margin."""
-    live = [it for it in iters if not it.exhausted]
-    heap: list[tuple[float, int]] = []  # (score, doc) min-heap of size k
-    results: list[tuple[int, float]] = []
-    while live:
-        live = [it for it in live if not it.exhausted]
-        if not live:
-            break
-        live.sort(key=lambda it: it.cur_doc)
-        theta = heap[0][0] - THETA_EPS if len(heap) >= k else 0.0
-        acc = 0.0
-        pivot = -1
-        for i, it in enumerate(live):
-            acc += it.global_ub
-            if acc > theta:
-                pivot = i
-                break
-        if pivot < 0:
-            break  # no doc can beat theta anymore
-        pivot_doc = live[pivot].cur_doc
-        if live[0].cur_doc == pivot_doc:
-            # block-max check: refine UB with current blocks
-            for it in live[: pivot + 1]:
-                it.seek(pivot_doc)
-            live2 = [it for it in live[: pivot + 1] if not it.exhausted]
-            bm_ub = 0.0
-            for it in live2:
-                if it.cur_doc <= it.block_last():
-                    bm_ub += it.block_ub()
-            if bm_ub <= theta and live2:
-                d2 = min(it.block_last() for it in live2) + 1
-                if d2 <= pivot_doc:
-                    d2 = pivot_doc + 1
-                for it in live2:
-                    it.seek(d2)
+        idfs.append(idf)
+        rows.append(row)
+    if not rows:
+        return []
+    n_terms = len(rows)
+    boundary = np.unique(np.concatenate(lasts))  # sorted window END doc ids
+    ub = np.zeros(len(boundary))
+    cover: list[tuple[np.ndarray, np.ndarray]] = []
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    for t in range(n_terms):
+        bi = np.searchsorted(lasts[t], boundary, side="left")
+        valid = bi < len(lasts[t])
+        bi_c = np.minimum(bi, len(lasts[t]) - 1)
+        contrib = np.where(valid, bounds[t][bi_c], 0.0)
+        if int(rows[t]["n_postings"]) <= EAGER_DECODE_POSTINGS:
+            # A selective term's few blocks span WIDE doc ranges (a
+            # single-block term spans everything), which would charge its
+            # large idf bound to every window and defeat pruning. Its
+            # postings are cheap to decode, so decode them now and charge
+            # the bound ONLY to windows that actually contain a posting
+            # (the true max contribution elsewhere is zero).
+            docs_t = []
+            for b in range(len(lasts[t])):
+                blk = decode_block(rows[t], b)
+                decoded[(t, b)] = blk
+                docs_t.append(blk[0])
+            widx = np.searchsorted(boundary, np.concatenate(docs_t), side="left")
+            haspost = np.zeros(len(boundary), dtype=bool)
+            haspost[widx] = True
+            contrib = np.where(haspost, contrib, 0.0)
+        ub += contrib
+        cover.append((bi_c, valid))
+    order = np.argsort(-ub, kind="stable")
+    out_docs: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    topbuf = np.empty(0)  # running top-k exact scores across windows
+    for w in order.tolist():
+        if len(topbuf) >= k and ub[w] <= topbuf.min() - 1e-6:
+            break  # no remaining window can reach the top-k margin
+        lo = int(boundary[w - 1]) if w > 0 else -1  # window is (lo, hi]
+        hi = int(boundary[w])
+        docs_parts, score_parts = [], []
+        for t in range(n_terms):
+            bi_c, valid = cover[t]
+            if not valid[w]:
                 continue
-            dl = float(dl_lookup(pivot_doc))
-            score = 0.0
-            for it in live:
-                if not it.exhausted and it.cur_doc == pivot_doc:
-                    score += _score_tf(float(it.cur_tf), dl, it.idf, it.avgdl)
-                    it.advance()
-            if len(heap) < k:
-                heapq.heappush(heap, (score, pivot_doc))
-                results.append((pivot_doc, score))
-            elif score > heap[0][0] - THETA_EPS:
-                results.append((pivot_doc, score))
-                if score > heap[0][0]:
-                    heapq.heapreplace(heap, (score, pivot_doc))
+            key = (t, int(bi_c[w]))
+            blk = decoded.get(key)
+            if blk is None:
+                blk = decode_block(rows[t], key[1])
+                decoded[key] = blk
+            d, tf = blk
+            s = int(np.searchsorted(d, lo, side="right"))
+            e = int(np.searchsorted(d, hi, side="right"))
+            if s == e:
+                continue
+            dd = d[s:e]
+            tt = tf[s:e].astype(np.float64)
+            dl_idx = np.searchsorted(dl_docs, dd)
+            _check_dl_coverage(dl_docs, dl_idx, dd)
+            dl = dl_vals[dl_idx].astype(np.float64)
+            sc = idfs[t] * (tt * (K1 + 1.0)) / (
+                tt + K1 * (1.0 - B + B * dl / avgdl)
+            )
+            docs_parts.append(dd)
+            score_parts.append(sc)
+        if not docs_parts:
+            continue
+        if len(docs_parts) == 1:
+            u, sums = docs_parts[0], score_parts[0]
         else:
-            for it in live[:pivot]:
-                it.seek(pivot_doc)
-    return results
+            dd = np.concatenate(docs_parts)
+            sc = np.concatenate(score_parts)
+            u, inv = np.unique(dd, return_inverse=True)
+            sums = np.zeros(len(u))
+            np.add.at(sums, inv, sc)
+        out_docs.append(u)
+        out_scores.append(sums)
+        cand = np.concatenate((topbuf, sums))
+        if len(cand) > k:
+            cand = cand[np.argpartition(cand, len(cand) - k)[len(cand) - k :]]
+        topbuf = cand
+    if not out_docs:
+        return []
+    docs = np.concatenate(out_docs)
+    sums = np.concatenate(out_scores)
+    # identical final selection rule to TAAT: kth-largest exact score,
+    # keep the rounding margin so boundary ties break by doc_id
+    if len(docs) > k:
+        s_k = np.partition(sums, len(sums) - k)[len(sums) - k]
+        cand_i = np.flatnonzero(sums >= s_k - 1e-6)
+    else:
+        cand_i = np.arange(len(docs))
+    sel = cand_i[np.lexsort((docs[cand_i], -np.round(sums[cand_i], 6)))][:k]
+    return [(int(docs[i]), float(sums[i])) for i in sel]
 
 
 def taat_topk_shard(
@@ -221,13 +232,7 @@ def taat_topk_shard(
         docs = np.concatenate(deltas_all)
         tfs = np.concatenate(tfs_all)
         dl_idx = np.searchsorted(dl_docs, docs)
-        if dl_idx.max(initial=-1) >= len(dl_docs) or not np.array_equal(
-            dl_docs[dl_idx], docs
-        ):
-            raise ValueError(
-                "posting doc_id absent from the shard's doclen rows — a group "
-                "built with a different n_shards/layout was appended"
-            )
+        _check_dl_coverage(dl_docs, dl_idx, docs)
         dl = dl_vals[dl_idx].astype(np.float64)
         scores = idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dl / avgdl))
         all_docs.append(docs)
@@ -285,15 +290,26 @@ def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
             ]
             if not rows:
                 continue
-            if algo == "wand":
-                def dl_lookup(doc, _d=dl_docs, _v=dl_vals):
-                    return _v[np.searchsorted(_d, doc)]
-                iters = [PostingIterator(r, idf, avgdl) for r, idf in rows]
-                hits = wand_topk_shard(iters, dl_lookup, k, avgdl)
-                hits.sort(key=lambda x: (-round(x[1], 6), x[0]))
-                hits = hits[:k]
-            else:
-                hits = taat_topk_shard(rows, dl_docs, dl_vals, k, avgdl)
+            use = algo
+            if algo == "auto":
+                # WAND pays off when a selective (high-idf) term can push
+                # the top-k threshold above the combined bound of the
+                # flat terms, letting whole flat-term blocks be skipped;
+                # otherwise TAAT's single decode-everything pass wins.
+                # Measured on local[32], sf0.1 x16 (BENCH/wand_auto.md):
+                # zipf needle wand 2.4-3.3s vs taat 3.5-7.5s; flat
+                # reference queries taat ~1.0s vs wand ~1.4s.
+                idfs = [idf for _r, idf in rows]
+                sel = [i for i in idfs if i >= IDF_SELECTIVE]
+                flat_ub = sum(i for i in idfs if i < IDF_SELECTIVE) * 2.2
+                n_post = sum(int(r["n_postings"]) for r, _ in rows)
+                use = (
+                    "wand"
+                    if sel and max(sel) > flat_ub and n_post > 5_000
+                    else "taat"
+                )
+            shard_fn = wand_topk_shard if use == "wand" else taat_topk_shard
+            hits = shard_fn(rows, dl_docs, dl_vals, k, avgdl)
             for d, s in hits:
                 out_q.append(qid)
                 out_d.append(d)
@@ -331,14 +347,8 @@ def wand_topk(
     n_docs = index.stats["n_docs"]
     idf_map = {r["term"]: _idf(int(r["df"]), n_docs) for r in df_rows}
     avgdl = float(index.stats["avgdl"])
-    if algo == "auto":
-        # both scorers are exact; pick by matched-postings volume. TAAT's
-        # single vectorized pass wins while decode cost is small; WAND's
-        # block skipping wins once posting lists are long enough for the
-        # top-k threshold to prune whole blocks.
-        total_matched = sum(int(r["df"]) for r in df_rows)
-        algo = "taat" if total_matched < 200_000 * len(query_terms) else "wand"
-
+    # algo == "auto" resolves per (query, shard) inside the scorer from
+    # idf structure + matched-postings volume (see _make_scorer)
     seg = index.segments.filter(
         F.col("term").isin(all_terms) | F.col("term").isNull()
     )

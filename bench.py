@@ -109,14 +109,35 @@ def main() -> None:
     wand_topk(spark, seg_index, ref_queries, k=10, algo="taat").collect()
     queries["bm25_batch18_taat"] = round(time.monotonic() - t0, 3)
 
-    # ---- single-query latency distribution ----
+    # ---- single-query latency distribution (auto scorer = prod path) ----
     lats = []
     for cid, text in ref_queries:
         t0 = time.monotonic()
-        wand_topk(spark, seg_index, [(cid, text)], k=10, algo="wand").collect()
+        wand_topk(spark, seg_index, [(cid, text)], k=10, algo="auto").collect()
         lats.append(time.monotonic() - t0)
     queries["bm25_single_p50"] = round(float(np.percentile(lats, 50)), 3)
     queries["bm25_single_p99"] = round(float(np.percentile(lats, 99)), 3)
+
+    # ---- Zipf needle workload (selective + stop terms: the WAND case;
+    #      the fixture corpus is all-stopwords, where TAAT must win) ----
+    from alertsage_spark.synth import zipf_corpus, zipf_needle_queries
+
+    zc = zipf_corpus(spark, 160_000).cache()
+    zc.count()
+    zdir = tempfile.mkdtemp(
+        prefix="bench_zipf_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    build_segments(spark, zc, zdir, n_shards=8, n_groups=1, resume=False)
+    zidx = load_index(spark, zdir)
+    zqs = zipf_needle_queries(12)
+    for algo in ("taat", "wand"):  # warm both kernels
+        wand_topk(spark, zidx, zqs, k=10, algo=algo).collect()
+    for algo in ("wand", "taat", "auto"):
+        t0 = time.monotonic()
+        wand_topk(spark, zidx, zqs, k=10, algo=algo).collect()
+        queries[f"bm25_zipf_needle_{algo}"] = round(time.monotonic() - t0, 3)
+    zc.unpersist()
+    shutil.rmtree(zdir, ignore_errors=True)
 
     # ---- exact join+agg BM25 (pure-JVM path, index built on the fly) ----
     t0 = time.monotonic()
