@@ -511,9 +511,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dup_pairs(tbl(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@register("dedup_jaccard_verified")  # rows-only
+_SHINGLE_SQL = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id,
+   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) END AS sh
+ FROM toks)
+"""
+
+
+@register(
+    "dedup_jaccard_verified",
+    f"""
+WITH {_SHINGLE_SQL},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+)
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard verification of MinHash candidates."""
+    """n-gram Jaccard verification of MinHash candidates. The DuckDB
+    oracle is BRUTE-FORCE all-pairs Jaccard >= 0.5 — the hash match
+    therefore also proves MinHash candidate recall = 1.0 at this
+    threshold on the fixture (verified at sf0.001 and sf0.01)."""
     docs = tbl(spark, sf_dir, "documents")
     cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
     return dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text", threshold=0.5)
@@ -552,14 +576,38 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, list(qvec), k=10)
 
 
-@register("sim_dup_pairs")  # rows-only
+@register("sim_dup_pairs")  # rows-only: LSH recall < 1 by construction
 def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (reference M5 semantics:
-    sim >= threshold, /root/reference/src/triage/embeddings.py:147-164).
-    The fixture vectors are weakly clustered, so the demo threshold is
-    0.30 to produce a non-trivial pair set; 0.90 is the production
-    default for true duplicates."""
+    sim >= threshold, /root/reference/src/triage/embeddings.py:147-164)
+    via the subquadratic LSH bucket join. The fixture vectors are weakly
+    clustered, so the demo threshold is 0.30 — at which these bucket
+    params recover only ~8% of all pairs (measured vs sim_dup_pairs_exact;
+    the collision math in similarity.py predicts exactly that: sign-LSH
+    is a HIGH-threshold structure). At the production setting
+    (threshold 0.90, b=16, t=32) predicted recall is ~0.94. Every
+    returned pair's cosine is exact (subset of sim_dup_pairs_exact,
+    probe-verified)."""
     return similarity.embedding_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.30)
+
+
+@register(
+    "sim_dup_pairs_exact",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 5) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 5) >= 0.30
+""",
+)
+def sim_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs cosine >= 0.30 via the blocked matrix-product
+    kernel (ground truth for M5; LSH above is the scale path)."""
+    return similarity.cosine_dup_pairs_exact(
+        tbl(spark, sf_dir, "embeddings"), threshold=0.30
+    )
 
 
 @register("mm_extract_features")  # rows-only: synthetic media, stub decoder

@@ -4,19 +4,40 @@ Re-expresses the reference's numpy mat-vec cosine search
 (/root/reference/src/triage/embeddings.py:118-145: corpus @ query,
 argsort desc, top-k, threshold, exact-dup drop at 0.999) as Spark plans:
 
-  * cosine_topk        — brute-force baseline: per-row dot product via
-                         zip_with + aggregate (JVM higher-order fns,
-                         float64 in-order accumulation), global
-                         TakeOrderedAndProject top-k. Exact; O(N·d).
-  * cosine_topk_pandas — Arrow-batched numpy variant (np.dot over the
-                         batch matrix) for wide vectors; same results.
-  * lsh_ann_topk       — random-hyperplane (sign) LSH buckets: probe only
-                         rows sharing >= 1 of t hash-table buckets; the
-                         scale path (candidates ~ buckets, not corpus).
-  * pair/dup utilities — cosine >= threshold duplicate pairs (M5).
+  * cosine_topk            — brute-force baseline: per-row dot product
+                             via zip_with + aggregate (JVM higher-order
+                             fns, float64 in-order accumulation), global
+                             TakeOrderedAndProject top-k. Exact; O(N·d).
+  * cosine_topk_pandas     — Arrow-batched numpy variant (np.dot over
+                             the batch matrix) for wide vectors.
+  * with_lsh_signatures    — ONE Arrow pass computing ALL sign-LSH table
+                             signatures (single (tables*bits, dim)
+                             matmul per batch). The scale path stores
+                             these columns at ingest (partition/bucket
+                             by sig_0) so query candidate generation is
+                             a metadata filter, not a scan per table.
+  * lsh_ann_topk           — approximate top-k: ONE scan filtered by
+                             OR(sig_t == qsig_t) over the signature
+                             columns (precomputed or computed inline in
+                             the same single pass), exact cosine on the
+                             candidates only.
+  * embedding_dup_pairs    — near-dup pairs (M5): signatures once, ONE
+                             self-join on exploded (table, sig) buckets,
+                             exact cosine verify.
+  * cosine_dup_pairs_exact — exact all-pairs >= threshold via blocked
+                             matrix products: O(n^2) by definition, but
+                             distributed over G*(G+1)/2 block-pair tasks
+                             with BLAS inside — the ground-truth/verify
+                             kernel; LSH above is the scale path.
 
 Vectors are expected L2-normalized (dot == cosine), matching the
 reference contract (/root/reference/src/triage/embeddings.py:87-94).
+
+Recall math for sign-LSH (random hyperplanes): a pair at angle theta
+collides in one b-bit table with p = (1 - theta/pi)^b; with t tables,
+recall = 1 - (1-p)^t. For near-dups at cosine 0.9 (theta ~ 0.451):
+b=16, t=32 gives ~0.94 recall with 65k buckets/table; the defaults
+below (b=8, t=4) are sized for the weakly-clustered 64-dim fixture.
 """
 
 from __future__ import annotations
@@ -91,33 +112,75 @@ def cosine_topk_pandas(
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim)
+# ------------------------------------------------------------ sign LSH
 
 
-def signature_col(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-LSH signature as a long (bit i = sign(v · plane_i))."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(float(w)) for w in planes[i]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(planes.shape[0])
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
+def plane_matrix(dim: int, n_tables: int, bits_per_table: int, seed: int = 42) -> np.ndarray:
+    """Stacked random hyperplanes, shape (n_tables * bits_per_table, dim)
+    — one matmul computes every table's signature bits. Per-table planes
+    are seeded independently (seed + 1000*t) for reproducibility."""
+    rows = []
+    for t in range(n_tables):
+        rng = np.random.RandomState(seed + 1000 * t)
+        rows.append(rng.randn(bits_per_table, dim))
+    return np.vstack(rows)
+
+
+def _pack_signatures(signs: np.ndarray, n_tables: int, bits: int) -> np.ndarray:
+    """(n, tables*bits) bool -> (n, tables) int64 bit-packed signatures."""
+    weights = (1 << np.arange(bits, dtype=np.int64))
+    out = np.empty((signs.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        out[:, t] = signs[:, t * bits : (t + 1) * bits] @ weights
     return out
+
+
+def sig_cols(n_tables: int) -> list[str]:
+    return [f"sig_{t}" for t in range(n_tables)]
+
+
+def with_lsh_signatures(
+    embeddings: DataFrame,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Adds sig_0..sig_{n_tables-1} long columns in ONE Arrow pass
+    (single stacked matmul per batch). At ingest scale these columns are
+    written with the table (bucket/partition by sig_0) so ANN candidate
+    generation never rescans vectors."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = plane_matrix(dim, n_tables, bits_per_table, seed)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sigs = _pack_signatures(mat @ planes.T > 0, n_tables, bits_per_table)
+            out = {id_col: pdf[id_col].to_numpy(), vec_col: pdf[vec_col]}
+            for t in range(n_tables):
+                out[f"sig_{t}"] = sigs[:, t]
+            yield pd.DataFrame(out)
+
+    in_schema = embeddings.select(id_col, vec_col).schema
+    schema = (
+        f"{id_col} {in_schema[0].dataType.simpleString()}, "
+        f"{vec_col} {in_schema[1].dataType.simpleString()}, "
+        + ", ".join(f"sig_{t} long" for t in range(n_tables))
+    )
+    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def query_signatures(
+    query_vec: list[float], n_tables: int = 8, bits_per_table: int = 4, seed: int = 42
+) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = plane_matrix(len(query_vec), n_tables, bits_per_table, seed)
+    sigs = _pack_signatures((planes @ q > 0)[None, :], n_tables, bits_per_table)
+    return [int(s) for s in sigs[0]]
 
 
 def lsh_ann_topk(
@@ -129,30 +192,31 @@ def lsh_ann_topk(
     n_tables: int = 8,
     bits_per_table: int = 4,
     seed: int = 42,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: only rows colliding with the query in >= 1 of
-    ``n_tables`` sign-LSH tables are scored.
+    """Approximate top-k: rows colliding with the query in >= 1 of
+    ``n_tables`` sign-LSH tables are scored — ONE scan with an OR filter
+    over the signature columns (not one scan per table).
 
-    Defaults (8 tables x 4 bits) target weakly-clustered corpora (top-k
-    cosines ~0.3): collision prob per table ~(1 - theta/pi)^bits, so
-    fewer bits + more tables buys recall (measured 0.9-1.0 on the
-    fixture) at the cost of larger candidate sets. For strongly clustered
-    data raise bits_per_table to shrink candidates.
-
-    At corpus scale the signature columns are precomputed and stored
-    (partition/bucket by signature), so a query touches only matching
-    buckets — candidate generation is a metadata filter, scoring is
-    proportional to candidates. Here signatures are computed inline.
+    ``signatures``: a DataFrame that already carries sig_* columns
+    (from with_lsh_signatures at ingest, stored + bucketed); when given,
+    candidate generation touches only stored metadata columns. Defaults
+    (8 tables x 4 bits) target weakly-clustered corpora (top-k cosines
+    ~0.3); for strongly clustered data raise bits_per_table.
     """
-    dim = len(query_vec)
-    q = np.asarray(query_vec, dtype=np.float64)
-    cand = None
-    for t in range(n_tables):
-        planes = hyperplanes(dim, bits_per_table, seed=seed + 1000 * t)
-        qsig = int(sum((1 << i) for i in range(bits_per_table) if float(planes[i] @ q) > 0))
-        hit = embeddings.filter(signature_col(F.col(vec_col), planes) == F.lit(qsig))
-        cand = hit if cand is None else cand.unionByName(hit)
-    cand = cand.dropDuplicates([id_col])
+    sigdf = (
+        signatures
+        if signatures is not None
+        else with_lsh_signatures(
+            embeddings, n_tables, bits_per_table, seed, id_col, vec_col,
+            dim=len(query_vec),
+        )
+    )
+    qsigs = query_signatures(query_vec, n_tables, bits_per_table, seed)
+    cond = F.lit(False)
+    for t, qs in enumerate(qsigs):
+        cond = cond | (F.col(f"sig_{t}") == F.lit(qs))
+    cand = sigdf.filter(cond).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -167,26 +231,103 @@ def embedding_dup_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the reference's M5 operator,
-    sim >= 0.90) via LSH bucket self-join + exact cosine verify —
-    no all-pairs crossJoin."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    pairs = None
-    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
-    for t in range(n_tables):
-        planes = hyperplanes(dim, bits_per_table, seed=seed + 1000 * t)
-        sig = base.select("vec_id", "emb", signature_col(F.col("emb"), planes).alias("sig"))
-        x, y = sig.alias("x"), sig.alias("y")
-        p = x.join(
+    sim >= 0.90): signatures computed ONCE, exploded to (table, sig)
+    bucket rows, ONE equi-self-join, exact cosine verify — no all-pairs
+    crossJoin and no per-table scans. Bucket count per table is
+    2^bits_per_table; size bits/tables from the recall math in the
+    module docstring (b=16, t=32 for production 0.9-threshold dedup)."""
+    sigdf = with_lsh_signatures(
+        embeddings, n_tables, bits_per_table, seed, id_col, vec_col, dim
+    )
+    bucketed = sigdf.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "emb", "b.tbl", "b.sig")
+    x, y = bucketed.alias("x"), bucketed.alias("y")
+    pairs = (
+        x.join(
             y,
-            (F.col("x.sig") == F.col("y.sig")) & (F.col("x.vec_id") < F.col("y.vec_id")),
-        ).select(
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
             F.col("x.vec_id").alias("id_a"),
             F.col("y.vec_id").alias("id_b"),
             F.round(dot_col(F.col("x.emb"), F.col("y.emb")), 5).alias("cosine"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return (
-        pairs.filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return pairs
+
+
+def cosine_dup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via blocked matrix products.
+
+    O(n^2) by definition; distributed as G*(G+1)/2 block-pair tasks
+    (G = n_blocks), each a BLAS matmul over two in-memory blocks of
+    ~n/G vectors. Size n_blocks so a block fits an executor; use
+    embedding_dup_pairs (LSH) as the subquadratic scale path and this
+    as the ground-truth / verification kernel.
+    """
+    blocks = (
+        embeddings.select(
+            (F.col(id_col) % n_blocks).cast("int").alias("g"),
+            F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).alias("s"),
+        )
+        .groupBy("g")
+        .agg(F.collect_list("s").alias("vs"))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = a.join(b, F.col("a.g") <= F.col("b.g")).select(
+        F.col("a.g").alias("ga"), F.col("b.g").alias("gb"),
+        F.col("a.vs").alias("va"), F.col("b.vs").alias("vb"),
+    )
+
+    thr = float(threshold)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ia = np.array([s["i"] for s in row["va"]], dtype=np.int64)
+                ma = np.vstack([np.asarray(s["v"], dtype=np.float64) for s in row["va"]])
+                same = row["ga"] == row["gb"]
+                if same:
+                    ib, mb = ia, ma
+                else:
+                    ib = np.array([s["i"] for s in row["vb"]], dtype=np.int64)
+                    mb = np.vstack([np.asarray(s["v"], dtype=np.float64) for s in row["vb"]])
+                cos = np.round(ma @ mb.T, 5)
+                ai, bi = np.nonzero(cos >= thr)
+                id_a, id_b = ia[ai], ib[bi]
+                lo = np.minimum(id_a, id_b)
+                hi = np.maximum(id_a, id_b)
+                keep = lo < hi
+                yield pd.DataFrame(
+                    {
+                        "id_a": lo[keep],
+                        "id_b": hi[keep],
+                        "cosine": cos[ai, bi][keep],
+                    }
+                ).drop_duplicates(["id_a", "id_b"])
+
+    return pairs.mapInPandas(
+        kernel, schema="id_a long, id_b long, cosine double"
+    ).dropDuplicates(["id_a", "id_b"])

@@ -74,3 +74,43 @@ def test_embedding_dup_pairs_threshold(spark, emb, emb_np):
         assert abs(r["cosine"] - true_cos) <= 1e-5
         assert r["cosine"] >= 0.5
         assert r["id_a"] < r["id_b"]
+
+
+def test_cosine_dup_pairs_exact_vs_numpy(spark, emb, emb_np):
+    """Blocked exact all-pairs kernel == numpy brute force (pairs AND
+    values), at a threshold that yields a non-trivial set."""
+    ids, mat = emb_np
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.cosine_dup_pairs_exact(emb, threshold=0.5).collect()}
+    cos = np.round(mat @ mat.T, 5)
+    truth = {}
+    n = len(ids)
+    iu, ju = np.triu_indices(n, k=1)
+    for i, j in zip(iu, ju):
+        if cos[i, j] >= 0.5:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            truth[(a, b)] = float(cos[i, j])
+    assert got == truth
+
+
+def test_lsh_signatures_single_pass_and_stored_pushdown(spark, emb, emb_np, tmp_path):
+    """Signatures are computed in one pass; when stored, ANN candidate
+    generation is ONE FileScan with the sig filters pushed to parquet."""
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    sig = similarity.with_lsh_signatures(emb)
+    p = str(tmp_path / "sigs")
+    sig.write.parquet(p)
+    stored = spark.read.parquet(p)
+    out = similarity.lsh_ann_topk(emb, list(q), k=10, signatures=stored)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "PushedFilters: [" in plan and "sig_" in plan.split("PushedFilters")[1][:200], plan
+    # stored-signature path returns the same candidates as inline
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, similarity.lsh_ann_topk(emb, list(q), k=10).collect()))
+    assert a == b
+    # signature determinism: recompute == stored
+    again = similarity.with_lsh_signatures(emb)
+    assert sorted(map(tuple, again.drop("embedding").collect())) == \
+           sorted(map(tuple, stored.drop("embedding").collect()))
