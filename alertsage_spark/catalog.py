@@ -159,7 +159,7 @@ def _segment_index_for(spark: SparkSession, sf_dir: str):
             n_groups=1,
             resume=False,
         )
-        _SEG_INDEX_CACHE[sf_dir] = load_index(spark, d)
+        _SEG_INDEX_CACHE[sf_dir] = load_index(spark, d).prepare_for_queries()
     return _SEG_INDEX_CACHE[sf_dir]
 
 
@@ -1636,3 +1636,15 @@ def rel_topk_offset(spark, sf_dir):
         .offset(10)
         .limit(10)
     )
+
+
+@register("ml_hybrid_features")  # rows-only: ml pipeline has no SQL oracle
+def ml_hybrid_features(spark, sf_dir):
+    """M13 hybrid featurization + M7 sparse⊕dense fusion
+    (/root/reference/notebooks/10 cells 12,30; cli.py:1234-1246):
+    TF-IDF ⊕ OneHot(lang, source) ⊕ scaled n_chars via pyspark.ml,
+    projected to stable scalars (n_features, nnz, l2) for the harness."""
+    from alertsage_spark.operators.featurize import feature_stats, hybrid_features
+
+    out, _model = hybrid_features(tbl(spark, sf_dir, "documents"))
+    return feature_stats(out)

@@ -477,10 +477,46 @@ class SegmentIndex:
     termstats: DataFrame
     stats: dict
     paths: IndexPaths
+    df_map: dict | None = None  # term -> df, set by prepare_for_queries
+    dl_map: dict | None = None  # shard_id -> (sorted doc_ids, dls)
 
     @property
     def doclen_rows(self) -> DataFrame:
         return self.segments.filter(F.col("term").isNull())
+
+    def prepare_for_queries(
+        self,
+        collect_termstats_max: int = 2_000_000,
+        collect_doclen_max: int = 10_000_000,
+    ) -> "SegmentIndex":
+        """Serving-mode warm-up: pin the segment rows in executor memory
+        and, when small enough to hold on the driver, collect
+        (a) the term->df table (<= collect_termstats_max terms,
+        ~30 B/term) so per-query idf lookups stop costing a Spark job,
+        and (b) the per-shard doc-length arrays (<= collect_doclen_max
+        docs, 16 B/doc) which unlock the driver-local fast path for
+        selective queries (query/wand.py). At web scale (10^8+ term
+        vocabularies, 10^12 docs) both collects skip automatically and
+        queries use the distributed path; segment caching remains valid
+        at any scale because Spark caches per-partition and evicts LRU."""
+        self.segments.cache().count()
+        if self.termstats.count() <= collect_termstats_max:
+            self.df_map = {
+                r["term"]: int(r["df"])
+                for r in self.termstats.select("term", "df").collect()
+            }
+        if int(self.stats.get("n_docs", 0)) <= collect_doclen_max:
+            parts: dict[int, list] = {}
+            for r in self.doclen_rows.collect():
+                d, l = decode_doclen_row(r)
+                parts.setdefault(int(r["shard_id"]), []).append((d, l))
+            self.dl_map = {}
+            for sid, ps in parts.items():
+                d = np.concatenate([p[0] for p in ps])
+                l = np.concatenate([p[1] for p in ps])
+                order = np.argsort(d, kind="stable")
+                self.dl_map[sid] = (d[order], l[order])
+        return self
 
 
 def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:

@@ -255,6 +255,81 @@ def taat_topk_shard(
     return [(int(uniq[i]), float(sums[i])) for i in order]
 
 
+def _resolve_algo(algo: str, rows: list[tuple[dict, float]]) -> str:
+    """'auto' -> 'wand'/'taat' per (query, shard). WAND pays off when a
+    selective (high-idf) term can push the top-k threshold above the
+    combined bound of the flat terms, letting whole flat-term blocks be
+    skipped; otherwise TAAT's single decode-everything pass wins.
+    Measured on local[32], sf0.1 x16 (BENCH/wand_auto.md): zipf needle
+    wand 0.96-3.3s vs taat 2.6-7.5s; flat reference queries taat ~1.0s
+    vs wand ~1.4s."""
+    if algo != "auto":
+        return algo
+    idfs = [idf for _r, idf in rows]
+    sel = [i for i in idfs if i >= IDF_SELECTIVE]
+    flat_ub = sum(i for i in idfs if i < IDF_SELECTIVE) * 2.2
+    n_post = sum(int(r["n_postings"]) for r, _ in rows)
+    return "wand" if sel and max(sel) > flat_ub and n_post > 5_000 else "taat"
+
+
+def _local_topk(
+    spark: SparkSession,
+    index: SegmentIndex,
+    query_terms: dict[str, list[str]],
+    idf_map: dict[str, float],
+    k: int,
+    algo: str,
+    avgdl: float,
+) -> DataFrame:
+    """Driver-local fast path for selective queries in serving mode.
+
+    When the matched-postings volume is tiny relative to the corpus, a
+    full Spark job (one task per shard through Python workers) is pure
+    scheduling overhead: instead, collect ONLY the matched segment rows
+    (a pushed term-IN filter over the cached segments), run the same
+    shard kernels in the driver against the pre-collected doc-length
+    arrays, and materialize the (<= k x queries)-row result. Exactness
+    is identical by construction — same kernels, same tie-break."""
+    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    seg_rows = index.segments.filter(F.col("term").isin(all_terms)).collect()
+    by_shard_term: dict[int, dict[str, list]] = {}
+    for r in seg_rows:
+        by_shard_term.setdefault(int(r["shard_id"]), {}).setdefault(
+            r["term"], []
+        ).append(r)
+    out = []
+    for qid, terms in query_terms.items():
+        hits: list[tuple[int, float]] = []
+        for sid, by_term in by_shard_term.items():
+            rows = [
+                (run, idf_map[t])
+                for t in terms
+                if t in by_term
+                for run in by_term[t]
+            ]
+            if not rows:
+                continue
+            dl_docs, dl_vals = index.dl_map[sid]
+            shard_fn = (
+                wand_topk_shard
+                if _resolve_algo(algo, rows) == "wand"
+                else taat_topk_shard
+            )
+            hits.extend(shard_fn(rows, dl_docs, dl_vals, k, avgdl))
+        hits.sort(key=lambda h: (-round(h[1], 6), h[0]))
+        for rank, (doc, score) in enumerate(hits[:k], start=1):
+            out.append((qid, int(doc), round(score, 6), rank))
+    return spark.createDataFrame(
+        out, "query_id string, doc_id long, score double, rank int"
+    )
+
+
+# matched-postings ceiling for the driver-local fast path (collecting
+# more than this many postings to the driver would cost more than the
+# distributed job it avoids)
+FAST_PATH_MAX_POSTINGS = 2_000_000
+
+
 def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
                  avgdl: float, k: int, algo: str):
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -290,25 +365,11 @@ def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
             ]
             if not rows:
                 continue
-            use = algo
-            if algo == "auto":
-                # WAND pays off when a selective (high-idf) term can push
-                # the top-k threshold above the combined bound of the
-                # flat terms, letting whole flat-term blocks be skipped;
-                # otherwise TAAT's single decode-everything pass wins.
-                # Measured on local[32], sf0.1 x16 (BENCH/wand_auto.md):
-                # zipf needle wand 2.4-3.3s vs taat 3.5-7.5s; flat
-                # reference queries taat ~1.0s vs wand ~1.4s.
-                idfs = [idf for _r, idf in rows]
-                sel = [i for i in idfs if i >= IDF_SELECTIVE]
-                flat_ub = sum(i for i in idfs if i < IDF_SELECTIVE) * 2.2
-                n_post = sum(int(r["n_postings"]) for r, _ in rows)
-                use = (
-                    "wand"
-                    if sel and max(sel) > flat_ub and n_post > 5_000
-                    else "taat"
-                )
-            shard_fn = wand_topk_shard if use == "wand" else taat_topk_shard
+            shard_fn = (
+                wand_topk_shard
+                if _resolve_algo(algo, rows) == "wand"
+                else taat_topk_shard
+            )
             hits = shard_fn(rows, dl_docs, dl_vals, k, avgdl)
             for d, s in hits:
                 out_q.append(qid)
@@ -339,13 +400,26 @@ def wand_topk(
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "query_id string, doc_id long, score double, rank int")
-    df_rows = (
-        index.termstats.filter(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
     n_docs = index.stats["n_docs"]
-    idf_map = {r["term"]: _idf(int(r["df"]), n_docs) for r in df_rows}
+    if index.df_map is not None:
+        # serving mode (prepare_for_queries): zero-job idf lookup
+        idf_map = {
+            t: _idf(index.df_map[t], n_docs)
+            for t in all_terms
+            if t in index.df_map
+        }
+    else:
+        df_rows = (
+            index.termstats.filter(F.col("term").isin(all_terms))
+            .select("term", "df")
+            .collect()
+        )
+        idf_map = {r["term"]: _idf(int(r["df"]), n_docs) for r in df_rows}
+    avgdl_f = float(index.stats["avgdl"])
+    if index.df_map is not None and index.dl_map is not None:
+        total_df = sum(index.df_map.get(t, 0) for t in all_terms)
+        if total_df <= FAST_PATH_MAX_POSTINGS:
+            return _local_topk(spark, index, query_terms, idf_map, k, algo, avgdl_f)
     avgdl = float(index.stats["avgdl"])
     # algo == "auto" resolves per (query, shard) inside the scorer from
     # idf structure + matched-postings volume (see _make_scorer)

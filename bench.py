@@ -90,7 +90,7 @@ def main() -> None:
     queries["index_build"] = round(t_build, 3)
     extra["index_docs_per_sec"] = round(n_docs / t_build, 1)
     extra["n_docs_indexed"] = n_docs
-    seg_index = load_index(spark, idx_dir)
+    seg_index = load_index(spark, idx_dir).prepare_for_queries()
     man = spark.read.parquet(seg_index.paths.manifest).agg(
         F.sum("n_postings").alias("p"), F.sum("doc_bytes").alias("db"),
         F.sum("tf_bytes").alias("tb")

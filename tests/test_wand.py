@@ -97,3 +97,20 @@ def test_wand_equals_taat_on_random_queries(spark, seg_index, doc_oracle):
     a = _collect(wand_topk(spark, seg_index, queries, k=5, algo="wand"))
     b = _collect(wand_topk(spark, seg_index, queries, k=5, algo="taat"))
     assert a == b
+
+
+def test_fast_path_identical_to_distributed(spark, seg_index, doc_oracle):
+    """Serving-mode driver-local fast path must be result-identical to
+    the distributed scorer (same kernels by construction — verified)."""
+    from alertsage_spark.index.segments import load_index
+
+    prepared = load_index(spark, str(seg_index.paths.root)).prepare_for_queries()
+    assert prepared.df_map is not None and prepared.dl_map is not None
+    dist = _collect(wand_topk(spark, seg_index, QUERIES, k=K, algo="auto"))
+    fast = _collect(wand_topk(spark, prepared, QUERIES, k=K, algo="auto"))
+    assert fast == dist
+    # and still rank-identical to the oracle
+    for qid, text in QUERIES:
+        expected = doc_oracle.topk(text, k=K)
+        hits = fast.get(qid, [])
+        assert [h[0] for h in hits] == [e[0] for e in expected], qid
