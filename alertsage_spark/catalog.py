@@ -1648,3 +1648,85 @@ def ml_hybrid_features(spark, sf_dir):
 
     out, _model = hybrid_features(tbl(spark, sf_dir, "documents"))
     return feature_stats(out)
+
+
+@register(
+    "rel_comment_filter",
+    """
+WITH lines AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '# ' || text
+              WHEN doc_id % 7 = 0 THEN '   '
+              ELSE text END AS line
+  FROM documents)
+SELECT doc_id, line FROM lines
+WHERE NOT starts_with(ltrim(line), '#') AND trim(line) <> ''
+""",
+)
+def rel_comment_filter(spark, sf_dir):
+    """P9/S6: polymorphic text-source comment/blank-line filter
+    (/root/reference/src/triage/database.py keyword-file loader style),
+    exercised on deterministically comment-ified document lines."""
+    line = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("# "), F.col("text")))
+        .when(F.col("doc_id") % 7 == 0, F.lit("   "))
+        .otherwise(F.col("text"))
+    )
+    d = tbl(spark, sf_dir, "documents").select("doc_id", line.alias("line"))
+    return d.filter(
+        ~F.startswith(F.ltrim(F.col("line")), F.lit("#"))
+        & (F.trim(F.col("line")) != "")
+    )
+
+
+@register("sim_ann_ivf_topk")  # rows-only: approximate by construction
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN top-10: KMeans coarse quantizer, probe
+    the 6 nearest of 16 lists — the partition-pruned scale path beside
+    the LSH variant; recall vs brute force asserted in tests (the
+    fixture is weakly clustered, so probe count is sized up)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ivf_ann_topk(emb, list(qvec), k=10, n_probe=6)
+
+
+@register(
+    "stream_time_window",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_time_window(spark, sf_dir):
+    """§2.10 REAL Structured Streaming, oracle-checked: readStream over
+    the events parquet -> watermark -> 1h tumbling window counts ->
+    availableNow drain to a memory sink. Result is exactly the batch
+    rel_time_window answer (same oracle SQL) — the streaming/batch
+    unification Spark promises, demonstrated under the driver's hash
+    check. The same plan serves a Kafka source at cluster scale."""
+    import tempfile
+    import uuid
+
+    from alertsage_spark.streaming.windows import run_to_memory, tumbling_counts
+
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY (it monitors for new
+    # files); expose the fixture file through a temp dir symlink
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    # watermarks require TIMESTAMP (event-time); the fixture stores
+    # TIMESTAMP_NTZ — cast is value-identical under the UTC session tz,
+    # and the result is cast back for schema parity with the oracle
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    name = f"stream_tw_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        spark, tumbling_counts(stream), name, tempfile.mkdtemp(prefix="ckpt_")
+    )
+    return spark.table(name).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )

@@ -78,6 +78,30 @@ def shard_col(doc_id_col, n_shards: int):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(n_shards)).cast("int")
 
 
+def suggest_n_shards(
+    n_docs: int,
+    avg_doc_tokens: float = 200.0,
+    target_postings_per_shard: int = 20_000_000,
+) -> int:
+    """Sizing rule for ``build_segments(n_shards=...)``.
+
+    A build/merge task materializes ONE shard (its postings decode to
+    ~16 B each plus the token strings), so per-task memory is
+    total_postings / n_shards * ~50 B. The rule keeps a shard at
+    ``target_postings_per_shard`` (20M -> ~1 GB peak per task):
+
+        n_shards = ceil(n_docs * avg_doc_tokens / target)
+
+    Examples: 80k docs x 60 tok -> 1 shard (floor to parallelism needs);
+    10^9 docs x 200 tok -> 10,000 shards; 10^12 docs -> 10M shards.
+    n_shards only changes layout, never results (append_group guards
+    against mixing layouts); pick the next power of two above this for
+    stable repartitioning if preferred."""
+    import math
+
+    return max(1, math.ceil(n_docs * avg_doc_tokens / target_postings_per_shard))
+
+
 @dataclass
 class IndexPaths:
     root: str

@@ -272,6 +272,59 @@ def embedding_dup_pairs(
     return pairs
 
 
+def with_ivf_lists(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer (the FAISS-style inverted-file layout):
+    KMeans centroids + per-row list assignment. Returns (assigned
+    DataFrame with an `ivf_list` int column, centroid ndarray). At
+    ingest scale the assignment is stored and the table partitioned by
+    ivf_list, so probing reads only the probed partitions (partition
+    pruning — stronger than a filter)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = embeddings.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("_fv")
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(emb)
+    assigned = model.transform(emb).select(
+        id_col, vec_col, F.col("prediction").cast("int").alias("ivf_list")
+    )
+    return assigned, np.array(model.clusterCenters())
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only rows in the n_probe lists whose
+    centroids are nearest the query — candidates ~ n * n_probe/n_lists.
+    Pass (assigned, centroids) from with_ivf_lists to skip re-fitting
+    (the stored/ingest path); recall tuning = raise n_probe."""
+    if assigned is None or centroids is None:
+        assigned, centroids = with_ivf_lists(
+            embeddings, n_lists, seed, id_col, vec_col
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = np.linalg.norm(centroids - q[None, :], axis=1)
+    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    cand = assigned.filter(F.col("ivf_list").isin(probe)).select(id_col, vec_col)
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_dup_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.90,

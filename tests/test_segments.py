@@ -137,3 +137,12 @@ def test_manifest_metrics(spark, docs, tmp_path):
         assert r["doc_bytes"] > 0 and r["tf_bytes"] > 0
     # lineage covers the whole corpus exactly once
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_suggest_n_shards_sizing_rule():
+    from alertsage_spark.index.segments import suggest_n_shards
+
+    assert suggest_n_shards(80_000, 60.0) == 1
+    assert suggest_n_shards(1_000_000_000, 200.0) == 10_000
+    assert suggest_n_shards(10**12, 200.0) == 10_000_000
+    assert suggest_n_shards(0) == 1

@@ -114,3 +114,22 @@ def test_lsh_signatures_single_pass_and_stored_pushdown(spark, emb, emb_np, tmp_
     again = similarity.with_lsh_signatures(emb)
     assert sorted(map(tuple, again.drop("embedding").collect())) == \
            sorted(map(tuple, stored.drop("embedding").collect()))
+
+
+def test_ivf_ann_recall_and_exactness(spark, emb, emb_np):
+    """IVF ANN: every returned score is the true cosine; recall >= 0.5
+    at 4/16 probes on the fixture; stored-assignment path identical."""
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    truth = dict(_brute_topk(ids, mat, q, 10))
+    got = {r["vec_id"]: r["score"] for r in
+           similarity.ivf_ann_topk(emb, list(q), k=10, n_probe=6).collect()}
+    scores = dict(zip(ids.tolist(), np.round(mat @ q, 5).tolist()))
+    for vid, s in got.items():
+        assert abs(s - scores[vid]) <= 1e-5
+    assert len(set(truth) & set(got)) / 10 >= 0.5
+    assigned, cents = similarity.with_ivf_lists(emb)
+    again = {r["vec_id"]: r["score"] for r in
+             similarity.ivf_ann_topk(emb, list(q), k=10, n_probe=6,
+                                     assigned=assigned, centroids=cents).collect()}
+    assert again == got
