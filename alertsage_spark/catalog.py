@@ -624,12 +624,34 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("feature", F.to_json("feature"))
 
 
-@register("mm_frame_sample_plan")  # rows-only
+@register(
+    "mm_frame_sample_plan",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, CAST(1000 * (doc_id % 7) AS BIGINT) AS dur
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id,
+       CAST(unnest(generate_series(0, greatest(dur - 1, 0), 500)) AS BIGINT)
+         AS frame_ts_ms
+FROM m
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-driven video frame-sampling plan (explode before decode)."""
+    """Metadata-driven video frame-sampling plan (explode BEFORE decode —
+    the multimodal scale rule: plan from metadata, never touch blobs).
+    Media metadata derived deterministically from documents so DuckDB
+    can oracle the plan; the binary-column plumbing itself is covered by
+    mm_extract_features + tests."""
     from alertsage_spark.operators import multimodal as mm
 
-    return mm.frame_sample_plan(mm.synth_media(spark, n=64), every_ms=500)
+    media = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.lit(1000) * (F.col("doc_id") % 7)).cast("long").alias("duration_ms"),
+    )
+    return mm.frame_sample_plan(media, every_ms=500).withColumn(
+        "frame_ts_ms", F.col("frame_ts_ms").cast("long")
+    )
 
 
 # =====================================================================

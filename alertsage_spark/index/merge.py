@@ -174,3 +174,22 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str) -> Segment
     if os.path.exists(src.manifest):
         spark.read.parquet(src.manifest).write.mode("overwrite").parquet(paths.manifest)
     return load_index(spark, out_dir)
+
+
+def maybe_compact(
+    spark: SparkSession, index_dir: str, out_dir: str, max_groups: int = 4
+):
+    """LSM compaction policy: compact once the index accumulates
+    ``max_groups`` segment groups. Group count bounds query-time read
+    amplification (a query touches up to one row per (term, group,
+    shard)) and re-ingest memory in the scorers, so the policy keeps it
+    constant while appends stream in — the same trigger shape as the
+    reference generator's chunk-compaction checkpoint
+    (/root/reference/generator/generate_cyber_incidents.py:2779-3047).
+    Returns the merged SegmentIndex, or None when below the threshold."""
+    import glob
+
+    n = len(glob.glob(os.path.join(index_dir, "segments", "group=*")))
+    if n < max_groups:
+        return None
+    return merge_segments(spark, index_dir, out_dir)

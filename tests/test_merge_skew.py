@@ -200,3 +200,20 @@ def test_append_group_rejects_incompatible_layout(spark, code_docs, tmp_path):
     build_segments(spark, code_docs.limit(20), str(bc), n_shards=4, n_groups=1, mode="code")
     with pytest.raises(ValueError, match="mode"):
         append_group(spark, str(a), str(bc))
+
+
+def test_maybe_compact_policy(spark, code_docs, tmp_path):
+    from alertsage_spark.index.merge import maybe_compact
+    from alertsage_spark.index.segments import append_group
+
+    d = tmp_path / "pol"
+    sub = code_docs.limit(30)
+    build_segments(spark, sub, str(d), n_shards=4, n_groups=2)
+    assert maybe_compact(spark, str(d), str(tmp_path / "pol_m"), max_groups=4) is None
+    b = tmp_path / "pol_b"
+    build_segments(spark, code_docs.limit(60).filter(F.col("doc_id") % 2 == 1),
+                   str(b), n_shards=4, n_groups=2)
+    append_group(spark, str(d), str(b))
+    merged = maybe_compact(spark, str(d), str(tmp_path / "pol_m"), max_groups=4)
+    assert merged is not None
+    assert merged.segments.groupBy("shard_id", "term").count().filter("count > 1").count() == 0
