@@ -14,6 +14,6 @@ notebook tool; this engine is DataFrame/SQL/Arrow-UDF-first and designed
 for multi-executor clusters over ~100 TB corpora.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from alertsage_spark.session import get_spark  # noqa: F401

@@ -1752,3 +1752,46 @@ def stream_time_window(spark, sf_dir):
     return spark.table(name).withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
     )
+
+
+@register(
+    "rel_readonly_sql_api",
+    """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def rel_readonly_sql_api(spark, sf_dir):
+    """P8: the reference's guarded raw-SQL surface
+    (/root/reference/src/triage/database.py:1370-1404): the query string
+    passes validate_readonly_sql (SELECT-only, DDL/DML keyword deny),
+    then Spark SQL executes it over a registered view."""
+    from alertsage_spark.functions.text import validate_readonly_sql
+
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    q = validate_readonly_sql(
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM orders_v GROUP BY o_orderstatus"
+    )
+    return spark.sql(q)
+
+
+@register(
+    "rel_agg_salted",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+""",
+)
+def rel_agg_salted(spark, sf_dir):
+    """EXPLICIT two-stage salted aggregation (the §4.2-3 skew defense,
+    same shape as salted_termstats_from_segments): partial counts on
+    (key, salt), final combine on key — hash-identical to the plain
+    groupBy oracle, proving the rewrite is semantics-preserving."""
+    e = tbl(spark, sf_dir, "events")
+    partial = e.groupBy(
+        "event_type", F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
+    ).agg(F.count("*").alias("c"))
+    return partial.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("cnt")
+    )

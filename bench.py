@@ -109,6 +109,10 @@ def main() -> None:
     wand_topk(spark, seg_index, ref_queries, k=10, algo="taat").collect()
     queries["bm25_batch18_taat"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
+    wand_topk(spark, seg_index, ref_queries, k=10, algo="auto").collect()
+    queries["bm25_batch18_auto"] = round(time.monotonic() - t0, 3)
+
     # ---- single-query latency distribution (auto scorer = prod path) ----
     lats = []
     for cid, text in ref_queries:
