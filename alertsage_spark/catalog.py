@@ -1795,3 +1795,83 @@ def rel_agg_salted(spark, sf_dir):
     return partial.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("cnt")
     )
+
+
+@register("io_jsonl_roundtrip", "SELECT doc_id, lang, n_chars FROM documents")
+def io_jsonl_roundtrip(spark, sf_dir):
+    """S5: nested JSONL sink round-trip under the driver hash — write
+    (doc_id, struct(lang, n_chars)) as JSONL, read it back with schema
+    inference, flatten; hash-equal to the source table proves sink+
+    source fidelity including the nested struct."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.struct("lang", "n_chars").alias("meta")
+    )
+    docs.write.mode("overwrite").json(d)
+    back = spark.read.json(d)
+    return back.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@register("io_csv_roundtrip", "SELECT doc_id, lang, source FROM documents")
+def io_csv_roundtrip(spark, sf_dir):
+    """S1/S2 sink side: CSV write (header) -> schema'd read round-trip."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    tbl(spark, sf_dir, "documents").select("doc_id", "lang", "source").write.mode(
+        "overwrite"
+    ).option("header", True).csv(d)
+    return spark.read.schema("doc_id long, lang string, source string").option(
+        "header", True
+    ).csv(d)
+
+
+@register(
+    "rel_scalar_subquery",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_above_avg
+FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def rel_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate (§2.2 bonus — free via Spark SQL)."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        "SELECT CAST(count(*) AS BIGINT) AS n_above_avg FROM orders_sq "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)"
+    )
+
+
+@register(
+    "rel_window_ntile",
+    """
+SELECT quartile, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_price
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER)
+           AS quartile
+  FROM orders)
+GROUP BY quartile
+""",
+)
+def rel_window_ntile(spark, sf_dir):
+    """ntile quartile banding over a total order (§2.5 bonus)."""
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        tbl(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(4).over(w).cast("int").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
