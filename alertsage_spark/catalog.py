@@ -1875,3 +1875,60 @@ def rel_window_ntile(spark, sf_dir):
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "ft_hallucinated_iocs",
+    f"""
+WITH e AS (
+  SELECT doc_id, {_ioc_enriched_sql()} AS t,
+         ['172.16.' || CAST(doc_id % 250 AS VARCHAR) || '.9',
+          'phantom' || CAST(doc_id % 9 AS VARCHAR) || '.evil.example'] AS claimed
+  FROM documents)
+SELECT doc_id,
+  array_to_string(list_sort(list_filter(claimed,
+    x -> NOT list_contains({_ioc_list_sql('t')}, x))), ' ') AS hallucinated
+FROM e
+""",
+)
+def ft_hallucinated_iocs(spark, sf_dir):
+    """U1: the reference's hallucination guardrail
+    (/root/reference/src/triage/cli.py:963-984) — claimed IOCs not
+    present in the narrative. One claimed IOC is real (the enriched IP),
+    one is fabricated; exactly the fabricated one must survive the
+    array_except."""
+    claimed = F.array(
+        F.concat(F.lit("172.16."), (F.col("doc_id") % 250).cast("string"), F.lit(".9")),
+        F.concat(F.lit("phantom"), (F.col("doc_id") % 9).cast("string"), F.lit(".evil.example")),
+    )
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", _ioc_enriched_col().alias("t"), claimed.alias("claimed")
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(txt.hallucinated_iocs(F.col("claimed"), F.col("t"))), " "
+        ).alias("hallucinated"),
+    )
+
+
+@register(
+    "ft_build_invariants",
+    f"""
+WITH {_TOKS_CTE}
+SELECT CAST((SELECT count(*) FROM doclen) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM postings) AS BIGINT) AS n_postings
+""",
+)
+def ft_build_invariants(spark, sf_dir):
+    """End-to-end build integrity under the driver hash: the MANIFEST's
+    committed totals (docs indexed, postings encoded across all shards)
+    must equal what the tokenizer says the corpus contains — a full
+    cross-check of shard assignment + tokenize + aggregate + compress +
+    commit, since every lost or duplicated posting breaks the sum."""
+    index = _segment_index_for(spark, sf_dir)
+    man = spark.read.parquet(index.paths.manifest)
+    return man.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_postings").cast("long").alias("n_postings"),
+    )
