@@ -32,6 +32,13 @@ def main() -> None:
     p.add_argument("--index-dir", required=True)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--input-shape", default="generic",
+                   choices=["generic", "code_corpus"],
+                   help="code_corpus: the north-rule (repo, path, commit, "
+                        "lang, content) table; derives doc_id + fidelity "
+                        "hashes and defaults --mode code")
+    p.add_argument("--langs", action="append", default=[],
+                   help="code_corpus: keep only these languages")
     p.add_argument("--n-shards", type=int, default=32)
     p.add_argument("--n-groups", type=int, default=4)
     p.add_argument("--mode", default="text", choices=["text", "code"])
@@ -52,6 +59,17 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     fidelity = spark.read.parquet(args.fidelity) if args.fidelity else None
+    if args.input_shape == "code_corpus":
+        from alertsage_spark.sources.code_corpus import prepare_code_corpus
+
+        docs, derived_fidelity = prepare_code_corpus(
+            docs, langs=args.langs or None
+        )
+        if fidelity is None:
+            fidelity = derived_fidelity
+        args.id_col, args.text_col = "doc_id", "text"
+        if args.mode == "text":
+            args.mode = "code"
     out = build_segments(
         spark,
         docs,
