@@ -57,3 +57,82 @@ def zipf_needle_queries(n: int = 12) -> list[tuple[str, str]]:
     return [
         (f"Z{i}", f"t{20000 + i * 37} t{12000 + i * 11} t1 t2") for i in range(n)
     ]
+
+
+_CAMEL_IDENTS = [
+    "parseConfig", "readBuffer", "flushQueue", "deltaEncode", "blockMaxWand",
+    "mergeSegments", "topKScore", "postingList", "shardRouter", "tokenFilter",
+    "queryPlanner", "indexWriter", "segmentMerge", "scoreAccumulator",
+    "docIdCodec", "termStats",
+]
+_SNAKE_IDENTS = [
+    "read_buffer", "flush_queue", "delta_encode", "block_max", "merge_runs",
+    "top_k", "posting_list", "shard_id", "token_norm", "query_plan",
+    "index_dir", "segment_row", "score_sum", "doc_len", "term_df", "avg_dl",
+]
+_CODE_WORDS = [
+    "return", "import", "def", "class", "for", "while", "if", "else",
+    "index", "query", "score", "merge", "block", "term", "partition",
+]
+_LANGS = ["python", "java", "scala", "go", "rust"]
+
+
+def code_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    doclen: int = 80,
+    seed: int = 11,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """North-rule-shaped (repo, path, commit, lang, content) corpus at
+    bench scale — code-like content (camelCase + snake_case identifiers,
+    a ~30%-hot skew term), generated DISTRIBUTED from pure expressions
+    (xxhash64-driven choices), deterministic in (doc index, seed) and
+    independent of partitioning."""
+    camel = F.array(*[F.lit(w) for w in _CAMEL_IDENTS])
+    snake = F.array(*[F.lit(w) for w in _SNAKE_IDENTS])
+    words = F.array(*[F.lit(w) for w in _CODE_WORDS])
+    langs = F.array(*[F.lit(w) for w in _LANGS])
+    j = F.sequence(F.lit(1), F.lit(doclen))
+
+    def pick(arr, n, jj, salt):
+        i = F.pmod(F.xxhash64(F.col("id"), jj, F.lit(seed + salt)), F.lit(n))
+        return F.element_at(arr, (i + 1).cast("int"))
+
+    def suffix(jj, salt):
+        # long-tail identifier space (16 stems x 500 suffixes): real
+        # codebases have selective identifiers, not 16 global ones —
+        # this is what makes identifier queries the WAND needle case
+        # while the shared trigrams stay flat
+        return F.pmod(F.xxhash64(F.col("id"), jj, F.lit(seed + salt)), F.lit(500)).cast(
+            "string"
+        )
+
+    def tok(jj):
+        u = F.pmod(F.xxhash64(F.col("id"), jj, F.lit(seed)), F.lit(1000))
+        return (
+            F.when(u < 300, F.lit("spark"))  # hot term -> skew path
+            .when(u < 550, F.concat(pick(camel, len(_CAMEL_IDENTS), jj, 1), suffix(jj, 4)))
+            .when(u < 800, F.concat(pick(snake, len(_SNAKE_IDENTS), jj, 2), F.lit("_"), suffix(jj, 5)))
+            .otherwise(pick(words, len(_CODE_WORDS), jj, 3))
+        )
+
+    return (
+        spark.range(n_docs)
+        .repartition(n_partitions)
+        .select(
+            F.concat(
+                F.lit("org"), F.pmod(F.col("id"), F.lit(7)).cast("string"),
+                F.lit("/repo"), F.pmod(F.col("id"), F.lit(13)).cast("string"),
+            ).alias("repo"),
+            F.concat(
+                F.lit("src/module_"), F.pmod(F.col("id"), F.lit(11)).cast("string"),
+                F.lit("/file_"), F.col("id").cast("string"), F.lit(".py"),
+            ).alias("path"),
+            F.sha2(F.col("id").cast("string"), 256).alias("commit"),
+            F.element_at(
+                langs, (F.pmod(F.col("id"), F.lit(len(_LANGS))) + 1).cast("int")
+            ).alias("lang"),
+            F.concat_ws(" ", F.transform(j, tok)).alias("content"),
+        )
+    )

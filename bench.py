@@ -16,6 +16,13 @@ local[$SPARK_GRAFT_CPUS]:
                          window, rollup) at the bench SF.
   * dedup_minhash      — MinHash-LSH candidate pairs over documents.
   * sim_cosine_topk    — brute-force cosine top-10 over embeddings.
+  * bm25_zipf_needle_* — WAND-vs-TAAT on a Zipf corpus (selective terms).
+  * code_index_build / code_query_p50/p99 — the north-star code workload:
+                         (repo, path, commit, lang, content) ingest,
+                         code-mode (identifier+trigram) build, long-tail
+                         identifier queries. Runs LAST: its 16k-identifier
+                         trigram vocabulary pollutes JVM/session state for
+                         anything timed after it.
 
 Env:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
@@ -167,6 +174,44 @@ def main() -> None:
     t0 = time.monotonic()
     catalog.queries()["sim_cosine_topk"](spark, SF_DIR).collect()
     queries["sim_cosine_topk"] = round(time.monotonic() - t0, 3)
+
+    # ---- code corpus (the north-star workload: code-aware tokenizer
+    #      with trigram expansion over (repo, path, commit, lang,
+    #      content) rows, then identifier + partial-identifier queries) ----
+    from alertsage_spark.sources.code_corpus import prepare_code_corpus
+    from alertsage_spark.synth import code_corpus
+
+    cc = code_corpus(spark, 100_000).cache()
+    cc.count()
+    cdocs, cfid = prepare_code_corpus(cc)
+    cdir = tempfile.mkdtemp(
+        prefix="bench_code_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    t0 = time.monotonic()
+    build_segments(
+        spark, cdocs, cdir, n_shards=16, n_groups=1, mode="code",
+        resume=False, fidelity_hashes=cfid,
+    )
+    t_code = time.monotonic() - t0
+    queries["code_index_build"] = round(t_code, 3)
+    extra["code_docs_per_sec"] = round(100_000 / t_code, 1)
+    cidx = load_index(spark, cdir).prepare_for_queries()
+    code_qs = [
+        ("C1", "parseConfig17"), ("C2", "spark deltaEncode42"),
+        ("C3", "blockMax"), ("C4", "read_buffer_7 mergeSegments101"),
+        ("C5", "shardRouter250 token_norm_33"), ("C6", "queryPlanner499"),
+    ]
+    wand_topk(spark, cidx, code_qs, k=10, algo="auto").collect()  # warm
+    lats = []
+    for cq in code_qs:
+        t0 = time.monotonic()
+        wand_topk(spark, cidx, [cq], k=10, algo="auto").collect()
+        lats.append(time.monotonic() - t0)
+    queries["code_query_p50"] = round(float(np.percentile(lats, 50)), 3)
+    queries["code_query_p99"] = round(float(np.percentile(lats, 99)), 3)
+    cc.unpersist()
+    shutil.rmtree(cdir, ignore_errors=True)
+
 
     shutil.rmtree(idx_dir, ignore_errors=True)
 
