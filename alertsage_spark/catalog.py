@@ -1746,12 +1746,21 @@ def stream_time_window(spark, sf_dir):
     # and the result is cast back for schema parity with the oracle
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     name = f"stream_tw_{uuid.uuid4().hex[:8]}"
-    run_to_memory(
-        spark, tumbling_counts(stream), name, tempfile.mkdtemp(prefix="ckpt_")
-    )
-    return spark.table(name).withColumn(
-        "window_start", F.col("window_start").cast("timestamp_ntz")
-    )
+    # the NTZ->LTZ->NTZ round-trip is only hour-alignment-safe when the
+    # session offset is whole hours; pin UTC for the drain and restore
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        run_to_memory(
+            spark, tumbling_counts(stream), name, tempfile.mkdtemp(prefix="ckpt_")
+        )
+        out = spark.table(name).withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return out
 
 
 @register(
