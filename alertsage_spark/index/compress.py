@@ -60,6 +60,94 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """varbyte_encode + per-value byte counts (for batch slicing).
+    Byte-identical to varbyte_encode on the same values."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+    ngroups = np.maximum(nbits, 1)
+    total = int(ngroups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    for g in range(int(ngroups.max())):
+        mask = ngroups > g
+        pos = starts[mask] + g
+        vals = (v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (ngroups[mask] - 1 > g).astype(np.uint8) << 7
+        out[pos] = vals.astype(np.uint8) | cont
+    return out.tobytes(), ngroups
+
+
+def encode_posting_lists_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_starts: np.ndarray,
+) -> list[dict]:
+    """Encode MANY terms' posting lists in TWO vectorized varbyte passes.
+
+    ``doc_ids/tfs/dls`` are the concatenation of every term's postings
+    (sorted by doc_id within each term); ``term_starts`` (len n_terms+1)
+    delimits the ranges. Produces byte-identical output to calling
+    encode_posting_list per term (unit-tested), but the per-value work —
+    delta computation, varbyte group sizing, byte packing — runs once
+    over the whole shard instead of once per (term, block): the
+    per-block Python call overhead was 77% of the code-mode shard build.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = len(doc_ids)
+    if n and doc_ids.min() < 0:
+        raise ValueError("doc_ids must be non-negative")
+    term_starts = np.asarray(term_starts, dtype=np.int64)
+    # block starts: every B-th posting WITHIN its term (term starts are
+    # block starts by construction)
+    within = np.arange(n) - np.repeat(term_starts[:-1], np.diff(term_starts))
+    is_bstart = (within % BLOCK_SIZE) == 0
+    delta = doc_ids.astype(np.uint64).copy()
+    if n > 1:
+        delta[1:] = delta[1:] - doc_ids[:-1].astype(np.uint64)
+    delta[is_bstart] = doc_ids[is_bstart].astype(np.uint64)
+    doc_all, doc_nbytes = varbyte_encode_with_lengths(delta)
+    tf_all, tf_nbytes = varbyte_encode_with_lengths(tfs.astype(np.uint64))
+    doc_cum = np.concatenate(([0], np.cumsum(doc_nbytes)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_nbytes)))
+    out = []
+    for t in range(len(term_starts) - 1):
+        s, e = int(term_starts[t]), int(term_starts[t + 1])
+        bs = np.arange(s, e, BLOCK_SIZE, dtype=np.int64)
+        be = np.minimum(bs + BLOCK_SIZE, e)
+        bounds = np.append(bs, e)
+        out.append(
+            {
+                "doc_bytes": doc_all[doc_cum[s] : doc_cum[e]],
+                "tf_bytes": tf_all[tf_cum[s] : tf_cum[e]],
+                "block_last_docs": doc_ids[be - 1].tolist(),
+                "block_max_tfs": np.maximum.reduceat(tfs[s:e], bs - s).tolist()
+                if e > s
+                else [],
+                "block_min_dls": np.minimum.reduceat(dls[s:e], bs - s).tolist()
+                if e > s
+                else [],
+                "block_doc_offsets": (doc_cum[bounds] - doc_cum[s]).tolist(),
+                "block_tf_offsets": (tf_cum[bounds] - tf_cum[s]).tolist(),
+                "n_postings": e - s,
+            }
+        )
+    return out
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Vectorized varbyte decode -> uint64 array."""
     if not buf:

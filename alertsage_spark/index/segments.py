@@ -50,7 +50,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alertsage_spark.index.compress import encode_posting_list, varbyte_encode, delta_encode
+from alertsage_spark.index.compress import (
+    encode_posting_lists_batch,
+    varbyte_encode,
+    delta_encode,
+)
 from alertsage_spark.tokenizer import tokenize_arrow_base, vocab_trigram_mapping
 
 SEGMENT_SCHEMA = (
@@ -236,25 +240,26 @@ def _segment_builder(mode: str = "text"):
             return pd.DataFrame(out, columns=_SEG_COLS) if n_docs else empty
         p_docs = doc_ids[docidx]
         p_dls = lens[docidx]
-        bounds = np.flatnonzero(np.diff(term_code)) + 1
+        # one global (term, doc_id) sort, then a single batch encode of
+        # every posting list (two vectorized varbyte passes for the whole
+        # shard — per-term encode calls were 77% of code-mode build time)
+        order = np.lexsort((p_docs, term_code))
+        term_sorted = term_code[order]
+        p_docs, p_tf, p_dls = p_docs[order], tf[order], p_dls[order]
+        bounds = np.flatnonzero(np.diff(term_sorted)) + 1
         starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(term_code)]))
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            enc = encode_posting_list(p_docs[s:e], tf[s:e], p_dls[s:e])
+        term_starts = np.concatenate((starts, [len(term_sorted)]))
+        encs = encode_posting_lists_batch(p_docs, p_tf, p_dls, term_starts)
+        cf = np.add.reduceat(p_tf, starts)
+        for i, enc in enumerate(encs):
+            s = int(starts[i])
             out.append(
                 {
                     "shard_id": shard_id,
-                    "term": vocab[term_code[s]],
-                    "df_local": e - s,
-                    "cf_local": int(tf[s:e].sum()),
-                    "n_postings": enc["n_postings"],
-                    "doc_bytes": enc["doc_bytes"],
-                    "tf_bytes": enc["tf_bytes"],
-                    "block_last_docs": enc["block_last_docs"],
-                    "block_max_tfs": enc["block_max_tfs"],
-                    "block_min_dls": enc["block_min_dls"],
-                    "block_doc_offsets": enc["block_doc_offsets"],
-                    "block_tf_offsets": enc["block_tf_offsets"],
+                    "term": vocab[term_sorted[s]],
+                    "df_local": enc["n_postings"],
+                    "cf_local": int(cf[i]),
+                    **enc,
                 }
             )
         return pd.DataFrame(out, columns=_SEG_COLS)

@@ -94,3 +94,35 @@ def test_unsorted_input_is_sorted():
     out_docs, out_tfs = decode_posting_list(enc)
     assert out_docs.tolist() == [10, 20, 30]
     assert out_tfs.tolist() == [1, 2, 3]
+
+
+def test_batch_encode_byte_identical_to_single():
+    """encode_posting_lists_batch must produce byte-identical rows to
+    per-term encode_posting_list (same format, decodable by the same
+    readers)."""
+    import numpy as np
+
+    from alertsage_spark.index.compress import (
+        encode_posting_list,
+        encode_posting_lists_batch,
+        decode_posting_list,
+    )
+
+    rng = np.random.RandomState(3)
+    docs_all, tfs_all, dls_all, starts = [], [], [], [0]
+    for n in [1, 2, 127, 128, 129, 400, 1000]:
+        d = np.sort(np.unique(rng.randint(0, 10**9, size=n * 2)))[:n].astype(np.int64)
+        t = rng.randint(1, 50, size=n).astype(np.int64)
+        l = rng.randint(5, 500, size=n).astype(np.int64)
+        docs_all.append(d); tfs_all.append(t); dls_all.append(l)
+        starts.append(starts[-1] + n)
+    cat = lambda xs: np.concatenate(xs)
+    batch = encode_posting_lists_batch(cat(docs_all), cat(tfs_all), cat(dls_all),
+                                       np.array(starts))
+    for i, (d, t, l) in enumerate(zip(docs_all, tfs_all, dls_all)):
+        single = encode_posting_list(d, t, l)
+        for k in single:
+            a, b = single[k], batch[i][k]
+            assert a == b or (bytes(a) == bytes(b)), (i, k)
+        dd, tt = decode_posting_list(batch[i])
+        assert np.array_equal(dd, d) and np.array_equal(tt, t)
