@@ -35,7 +35,10 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from alertsage_spark.index.compress import decode_posting_list, encode_posting_list
+from alertsage_spark.index.compress import (
+    decode_posting_list,
+    encode_posting_lists_batch,
+)
 from alertsage_spark.index.segments import (
     _SEG_COLS,
     SEGMENT_SCHEMA,
@@ -65,7 +68,13 @@ def _shard_merger():
         dl_merged = np.zeros(len(uniq_docs), dtype=np.int64)
         np.maximum.at(dl_merged, np.searchsorted(uniq_docs, docs), dls)
         out = [_doclen_row(shard_id, uniq_docs, dl_merged)]
-        # 2) merge each term's runs against the local doc-length array
+        # 2) merge each term's runs against the local doc-length array,
+        #    accumulating all merged lists for ONE batch encode (two
+        #    vectorized varbyte passes for the whole shard — same
+        #    optimization as the segment builder)
+        terms: list[str] = []
+        docs_cat, tfs_cat, dls_cat = [], [], []
+        term_starts = [0]
         for term, grp in pdf[~isnull].groupby("term", sort=False):
             docs_runs, tfs_runs = [], []
             for _, r in grp.iterrows():
@@ -91,23 +100,28 @@ def _shard_merger():
                     "the shard's doclen rows — groups built with a different "
                     "n_shards/layout were appended to this index"
                 )
-            enc = encode_posting_list(d, t, dl_merged[idx])
-            out.append(
-                {
-                    "shard_id": shard_id,
-                    "term": term,
-                    "df_local": int(len(d)),
-                    "cf_local": int(t.sum()),
-                    "n_postings": enc["n_postings"],
-                    "doc_bytes": enc["doc_bytes"],
-                    "tf_bytes": enc["tf_bytes"],
-                    "block_last_docs": enc["block_last_docs"],
-                    "block_max_tfs": enc["block_max_tfs"],
-                    "block_min_dls": enc["block_min_dls"],
-                    "block_doc_offsets": enc["block_doc_offsets"],
-                    "block_tf_offsets": enc["block_tf_offsets"],
-                }
+            terms.append(term)
+            docs_cat.append(d)
+            tfs_cat.append(t)
+            dls_cat.append(dl_merged[idx])
+            term_starts.append(term_starts[-1] + len(d))
+        if terms:
+            encs = encode_posting_lists_batch(
+                np.concatenate(docs_cat),
+                np.concatenate(tfs_cat),
+                np.concatenate(dls_cat),
+                np.asarray(term_starts, dtype=np.int64),
             )
+            for term, t, enc in zip(terms, tfs_cat, encs):
+                out.append(
+                    {
+                        "shard_id": shard_id,
+                        "term": term,
+                        "df_local": enc["n_postings"],
+                        "cf_local": int(t.sum()),
+                        **enc,
+                    }
+                )
         return pd.DataFrame(out, columns=_SEG_COLS)
 
     return fn
