@@ -17,3 +17,38 @@ for multi-executor clusters over ~100 TB corpora.
 __version__ = "0.2.0"
 
 from alertsage_spark.session import get_spark  # noqa: F401
+
+# Public API façade — the stable surface for a user switching from the
+# reference (lazy imports keep `import alertsage_spark` light).
+
+
+def __getattr__(name):  # PEP 562
+    _API = {
+        # index lifecycle
+        "build_segments": "alertsage_spark.index.segments",
+        "load_index": "alertsage_spark.index.segments",
+        "append_group": "alertsage_spark.index.segments",
+        "suggest_n_shards": "alertsage_spark.index.segments",
+        "merge_segments": "alertsage_spark.index.merge",
+        "maybe_compact": "alertsage_spark.index.merge",
+        "build_index": "alertsage_spark.index.build",
+        # query
+        "wand_topk": "alertsage_spark.query.wand",
+        "bm25_topk": "alertsage_spark.query.bm25",
+        # ingest
+        "prepare_code_corpus": "alertsage_spark.sources.code_corpus",
+        # pipeline operators
+        "exact_dedup": "alertsage_spark.operators.dedup",
+        "minhash_lsh_pairs": "alertsage_spark.operators.dedup",
+        "cosine_topk": "alertsage_spark.operators.similarity",
+        "lsh_ann_topk": "alertsage_spark.operators.similarity",
+        "ivf_ann_topk": "alertsage_spark.operators.similarity",
+        "embedding_dup_pairs": "alertsage_spark.operators.similarity",
+        "hybrid_features": "alertsage_spark.operators.featurize",
+        "keyword_evidence_gate": "alertsage_spark.functions.keyword_gates",
+    }
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module 'alertsage_spark' has no attribute {name!r}")
