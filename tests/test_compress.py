@@ -126,3 +126,43 @@ def test_batch_encode_byte_identical_to_single():
             assert a == b or (bytes(a) == bytes(b)), (i, k)
         dd, tt = decode_posting_list(batch[i])
         assert np.array_equal(dd, d) and np.array_equal(tt, t)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 2**40), st.integers(1, 1000), st.integers(1, 10**6)),
+            min_size=1, max_size=300,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_encode_property(terms):
+    """Batch == per-term encoding for arbitrary posting lists (random
+    doc ids incl. duplicates-across-terms, random tf/dl, any term count
+    and block alignment)."""
+    from alertsage_spark.index.compress import (
+        encode_posting_list,
+        encode_posting_lists_batch,
+    )
+
+    docs_all, tfs_all, dls_all, starts = [], [], [], [0]
+    for plist in terms:
+        uniq = {}
+        for doc, tf, dl in plist:
+            uniq[doc] = (tf, dl)
+        d = np.array(sorted(uniq), dtype=np.int64)
+        t = np.array([uniq[x][0] for x in sorted(uniq)], dtype=np.int64)
+        l = np.array([uniq[x][1] for x in sorted(uniq)], dtype=np.int64)
+        docs_all.append(d); tfs_all.append(t); dls_all.append(l)
+        starts.append(starts[-1] + len(d))
+    batch = encode_posting_lists_batch(
+        np.concatenate(docs_all), np.concatenate(tfs_all),
+        np.concatenate(dls_all), np.array(starts),
+    )
+    for i, (d, t, l) in enumerate(zip(docs_all, tfs_all, dls_all)):
+        single = encode_posting_list(d, t, l)
+        for k in single:
+            a, b = single[k], batch[i][k]
+            assert a == b or (bytes(a) == bytes(b)), (i, k)
