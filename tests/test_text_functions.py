@@ -188,3 +188,57 @@ def test_readonly_sql_guard():
             tf.validate_readonly_sql(bad)
     # 'selected'/'created_at' style identifiers must NOT trip word-boundary checks
     assert tf.validate_readonly_sql("SELECT created_at, updates FROM t")
+
+
+def test_keyword_gate_parity_with_reference_logic_on_scenarios(spark):
+    """Spark-expression gate == a direct pure-Python transcription of the
+    reference's gate/downgrade/promote flow
+    (/root/reference/src/triage/cli.py:986-1068), evaluated on all 18
+    reference scenarios x several claimed labels."""
+    import re
+
+    from alertsage_spark.functions import keyword_gates as kg
+    from alertsage_spark.query.refqueries import REFERENCE_QUERIES
+
+    def ref_gate(claimed, text):
+        synonym = {"ransomware": "malware", "brute_force_attack": "access_abuse"}
+        known = {"phishing", "malware", "access_abuse", "data_exfiltration",
+                 "policy_violation", "web_attack", "benign_activity"}
+        label = synonym.get(claimed, claimed)
+        if label not in known and label != "uncertain":
+            label = "uncertain"
+        low = text.lower()
+        has = {name: any(k in low for k in kws) for name, kws in kg.KEYWORDS_BY_LABEL}
+        phish = bool(re.search(kg.PHISHING_RE, low))
+        for name, _ in kg.KEYWORDS_BY_LABEL:
+            if label == name and not has[name]:
+                label = "uncertain"
+        if label == "phishing" and not phish:
+            label = "uncertain"
+        gated = label
+        if label == "uncertain":
+            for name, _ in kg.KEYWORDS_BY_LABEL:
+                if has[name]:
+                    label = name
+                    break
+            else:
+                if phish:
+                    label = "phishing"
+        return gated, label
+
+    claims = ["phishing", "malware", "ransomware", "data_exfiltration",
+              "web_attack", "uncertain", "junk"]
+    rows = []
+    expected = {}
+    for i, (cid, ref_label, text) in enumerate(REFERENCE_QUERIES):
+        for j, c in enumerate(claims + [ref_label]):
+            key = i * 100 + j
+            rows.append((key, text, c))
+            expected[key] = ref_gate(c, text)
+    df = spark.createDataFrame(rows, "doc_id long, text string, claimed_label string")
+    out = kg.keyword_evidence_gate(df).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        want_gated, want_final = expected[r["doc_id"]]
+        assert (r["gated_label"], r["final_label"]) == (want_gated, want_final), (
+            r["doc_id"], r["claimed_label"])
