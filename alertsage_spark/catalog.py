@@ -1941,3 +1941,57 @@ def ft_build_invariants(spark, sf_dir):
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_postings").cast("long").alias("n_postings"),
     )
+
+
+@register(
+    "rel_agg_percentiles",
+    """
+SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+""",
+)
+def rel_agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (§2.4 bonus): Spark percentile()
+    and DuckDB quantile_cont share the (n-1)p linear-interpolation
+    definition. (percentile_approx is the sketch variant for 100 TB;
+    the exact form is the oracle-able one.)"""
+    return tbl(spark, sf_dir, "orders").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "rel_join_salted",
+    """
+WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS label FROM events)
+SELECT e.event_type, d.label, CAST(count(*) AS BIGINT) AS cnt
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type, d.label
+""",
+)
+def rel_join_salted(spark, sf_dir):
+    """EXPLICIT salted join (§2.3 skew defense): the big side gets a
+    random-ish salt, the small side is replicated once per salt value,
+    and the join key becomes (key, salt) — the classic rewrite for a
+    skewed key whose rows overflow one reducer. Hash-identical to the
+    plain join oracle, proving the rewrite is semantics-preserving."""
+    n_salts = 8
+    e = tbl(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
+    dim = (
+        tbl(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("label", F.upper("event_type"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    )
+    return (
+        e.join(dim, ["event_type", "salt"])
+        .groupBy("event_type", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
