@@ -1995,3 +1995,125 @@ def rel_join_salted(spark, sf_dir):
         .groupBy("event_type", "label")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "rel_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+m AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (
+  SELECT user_id, t,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS sess_id
+  FROM m)
+SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(t) AS sess_start, max(t) AS sess_end
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def rel_sessionize(spark, sf_dir):
+    """Gap-timeout sessionization (30 min) over the events table — the
+    batch form of the applyInPandasWithState streaming operator
+    (streaming/sessions.py); lag -> new-session flag -> running-sum
+    session id -> per-session aggregate."""
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    m = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "sess_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return s.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("sess_start"),
+        F.max("t").alias("sess_end"),
+    )
+
+
+@register(
+    "stream_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+m AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (
+  SELECT user_id, t,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m),
+sess AS (
+  SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+         min(t) AS sess_start, max(t) AS sess_end
+  FROM s GROUP BY user_id, sess_id)
+SELECT user_id, sess_start, sess_end, n_events FROM sess
+WHERE sess_id < (SELECT max(s2.sess_id) FROM sess s2
+                 WHERE s2.user_id = sess.user_id)
+   OR sess_end + 1800 < (SELECT max(t) FROM e)
+""",
+)
+def stream_sessionize(spark, sf_dir):
+    """§2.10 CUSTOM STATEFUL streaming operator under the driver hash:
+    applyInPandasWithState gap-timeout sessionization
+    (streaming/sessions.py) drained over the events fixture. The data batch
+    closes sessions inline; availableNow's final watermark-commit batch
+    then fires EVENT-TIME TIMEOUTS for any still-open session whose
+    end + gap lies before the global max event time. The oracle is
+    therefore: batch sessionization minus each user's final session,
+    plus final sessions stale relative to the corpus max timestamp —
+    fully SQL-expressible. Timeout-path behavior is covered by
+    tests/test_streaming_sessions.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from alertsage_spark.streaming.sessions import sessionize_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="sess_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        )
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessionize_stream(stream, gap_sec=1800)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return out
