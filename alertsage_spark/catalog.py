@@ -2117,3 +2117,16 @@ def stream_sessionize(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return out
+
+
+@register("rel_agg_approx_distinct")  # rows-only: HLL is approximate by design
+def rel_agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ sketch aggregation (approx_count_distinct, the
+    100 TB path for U3/A10-style distinct counts — one pass, bounded
+    memory, mergeable partial sketches). Deterministic for a fixed
+    input; accuracy vs the exact count asserted in
+    tests/test_catalog_oracle.py::test_approx_distinct_accuracy."""
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )

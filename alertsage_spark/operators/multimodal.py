@@ -21,7 +21,6 @@ Design notes for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import numpy as np

@@ -74,3 +74,13 @@ def test_rows_only_queries_run(spark, name):
     sdf = fn(spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_approx_distinct_accuracy(spark, con):
+    """The HLL sketch entry must land within 5% of the exact counts."""
+    got = catalog.queries()["rel_agg_approx_distinct"](spark, SF_DIR).collect()[0]
+    exact = con.execute(
+        "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    assert abs(got["approx_parts"] - exact[0]) / exact[0] < 0.05
+    assert abs(got["approx_orders"] - exact[1]) / exact[1] < 0.05
