@@ -133,3 +133,35 @@ def test_ivf_ann_recall_and_exactness(spark, emb, emb_np):
              similarity.ivf_ann_topk(emb, list(q), k=10, n_probe=6,
                                      assigned=assigned, centroids=cents).collect()}
     assert again == got
+
+
+def test_embedding_dup_pairs_production_params(spark):
+    """Production near-dup setting (threshold 0.9, b=16 bits, t=32
+    tables — predicted recall ~0.94 by the collision math): on a
+    synthetic corpus with planted >=0.9-cosine duplicate pairs, recall
+    must clear 0.85 and every reported pair must be a true pair."""
+    rng = np.random.RandomState(11)
+    n_base, dim = 400, 64
+    base = rng.randn(n_base, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, planted = [], set()
+    vid = 0
+    for i in range(n_base):
+        rows.append((vid, base[i].tolist())); a = vid; vid += 1
+        if i % 4 == 0:  # plant a near-duplicate (cosine ~0.95-0.99)
+            dup = base[i] + rng.randn(dim) * 0.03
+            dup /= np.linalg.norm(dup)
+            if float(dup @ base[i]) >= 0.9:
+                rows.append((vid, dup.tolist())); planted.add((a, vid)); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_dup_pairs(
+        emb, threshold=0.9, n_tables=32, bits_per_table=16
+    ).collect()
+    mat = {r[0]: np.array(r[1]) for r in rows}
+    got = set()
+    for r in out:
+        true_cos = float(mat[r["id_a"]] @ mat[r["id_b"]])
+        assert round(true_cos, 5) == r["cosine"] and true_cos >= 0.9
+        got.add((r["id_a"], r["id_b"]))
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.85, (recall, len(planted))
