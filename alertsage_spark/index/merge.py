@@ -16,9 +16,16 @@ shape as the build stage itself, with n_shards as the scaling knob
 (at 10^12 docs you raise n_shards, exactly as for the build).
 
 Determinism on re-ingested docs (same doc_id in several runs): the
-posting merge keeps max-tf and the doclen merge keeps max-dl — the
-SAME rule, so tf and dl always describe the same surviving document
-version regardless of run order.
+posting merge keeps max-tf per (term, doc) and the doclen merge keeps
+max-dl per doc — both run-order-independent, so repeated merges of the
+same groups are byte-identical. For BYTE-IDENTICAL re-ingests this
+reproduces the document exactly. For a re-ingest with CHANGED content
+the result is a deterministic per-term/per-doc upper envelope, not
+either single version: tf can come from one version and dl from the
+other, and terms present only in the old version persist. Replacing a
+document's content requires a delete/upsert pass (out of scope here);
+append + merge assumes appends carry new doc_ids or identical bytes —
+the invariant build_segments' fidelity gate enforces upstream.
 
 Global stats are RECOMPUTED from the merged segments (salted termstats
 + doclen re-aggregation), never copied from the source index: the

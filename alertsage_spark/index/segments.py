@@ -319,13 +319,15 @@ def _commit_group(
 
 
 def committed_groups(spark: SparkSession, paths: IndexPaths) -> set[int]:
-    if not os.path.exists(paths.manifest):
+    # probe for part-files before spark.read: reading an empty/partial
+    # manifest dir raises AnalysisException, and catching it after the
+    # fact spews a Java stack trace into the caller's logs
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(paths.manifest, "*.parquet")):
         return set()
-    try:
-        rows = spark.read.parquet(paths.manifest).select("group_id").distinct().collect()
-        return {r["group_id"] for r in rows}
-    except Exception:
-        return set()
+    rows = spark.read.parquet(paths.manifest).select("group_id").distinct().collect()
+    return {r["group_id"] for r in rows}
 
 
 def verify_corpus_fidelity(
@@ -495,7 +497,16 @@ def append_group(spark: SparkSession, dst_dir: str, src_dir: str) -> int:
     )
     n = 0
     for p in sorted(_glob.glob(os.path.join(src.root, "segments", "group=*"))):
-        shutil.copytree(p, dst.group_dir(next_g + n))
+        final = dst.group_dir(next_g + n)
+        # crash-safe: copy into a staging dir the segment glob can't see
+        # (underscore prefix — also skipped by parquet partition
+        # discovery), then atomically rename into place; a crash mid-copy
+        # leaves only the invisible staging dir behind
+        tmp = os.path.join(os.path.dirname(final), f"_staging_group_{next_g + n}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(p, tmp)
+        os.rename(tmp, final)
         n += 1
     return n
 
@@ -508,6 +519,30 @@ class SegmentIndex:
     paths: IndexPaths
     df_map: dict | None = None  # term -> df, set by prepare_for_queries
     dl_map: dict | None = None  # shard_id -> (sorted doc_ids, dls)
+    serving_groups: tuple | None = None  # on-disk group snapshot at prepare time
+
+    def _group_dirs(self) -> tuple:
+        import glob as _glob
+
+        return tuple(
+            sorted(_glob.glob(os.path.join(self.paths.root, "segments", "group=*")))
+        )
+
+    def assert_serving_fresh(self) -> None:
+        """Serving snapshots (df_map/dl_map AND the cached segment file
+        listing) are taken at prepare_for_queries time; an append_group
+        after warm-up would otherwise be silently invisible. Raise
+        loudly instead of answering from a stale snapshot."""
+        if self.serving_groups is None:
+            return
+        cur = self._group_dirs()
+        if cur != self.serving_groups:
+            raise RuntimeError(
+                "SegmentIndex serving snapshot is stale: segment groups "
+                "changed on disk since prepare_for_queries() "
+                f"({len(self.serving_groups)} -> {len(cur)} groups). "
+                "Re-run load_index(...).prepare_for_queries()."
+            )
 
     @property
     def doclen_rows(self) -> DataFrame:
@@ -528,6 +563,7 @@ class SegmentIndex:
         vocabularies, 10^12 docs) both collects skip automatically and
         queries use the distributed path; segment caching remains valid
         at any scale because Spark caches per-partition and evicts LRU."""
+        self.serving_groups = self._group_dirs()
         self.segments.cache().count()
         if self.termstats.count() <= collect_termstats_max:
             self.df_map = {

@@ -342,7 +342,9 @@ def cosine_dup_pairs_exact(
     """
     blocks = (
         embeddings.select(
-            (F.col(id_col) % n_blocks).cast("int").alias("g"),
+            # hash-based blocking: supports string ids (plain % requires
+            # numeric) and spreads skewed id ranges uniformly
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("g"),
             F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).alias("s"),
         )
         .groupBy("g")
@@ -355,23 +357,28 @@ def cosine_dup_pairs_exact(
     )
 
     thr = float(threshold)
+    # output id type follows the input id column (numeric or string ids
+    # both work: np.minimum/maximum order strings lexicographically,
+    # matching the `id_a < id_b` pair-ordering convention)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for _, row in pdf.iterrows():
-                ia = np.array([s["i"] for s in row["va"]], dtype=np.int64)
+                ia = np.array([s["i"] for s in row["va"]])
                 ma = np.vstack([np.asarray(s["v"], dtype=np.float64) for s in row["va"]])
                 same = row["ga"] == row["gb"]
                 if same:
                     ib, mb = ia, ma
                 else:
-                    ib = np.array([s["i"] for s in row["vb"]], dtype=np.int64)
+                    ib = np.array([s["i"] for s in row["vb"]])
                     mb = np.vstack([np.asarray(s["v"], dtype=np.float64) for s in row["vb"]])
                 cos = np.round(ma @ mb.T, 5)
                 ai, bi = np.nonzero(cos >= thr)
                 id_a, id_b = ia[ai], ib[bi]
-                lo = np.minimum(id_a, id_b)
-                hi = np.maximum(id_a, id_b)
+                swap = id_a <= id_b  # np.where, not np.minimum: works for string ids too
+                lo = np.where(swap, id_a, id_b)
+                hi = np.where(swap, id_b, id_a)
                 keep = lo < hi
                 yield pd.DataFrame(
                     {
@@ -382,5 +389,5 @@ def cosine_dup_pairs_exact(
                 ).drop_duplicates(["id_a", "id_b"])
 
     return pairs.mapInPandas(
-        kernel, schema="id_a long, id_b long, cosine double"
+        kernel, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     ).dropDuplicates(["id_a", "id_b"])

@@ -61,7 +61,10 @@ from alertsage_spark.index.compress import (
 from alertsage_spark.index.segments import SegmentIndex, decode_doclen_row
 from alertsage_spark.tokenizer import tokenize_py
 
-THETA_EPS = 1e-5
+# prune/candidate margin: must stay strictly tighter than the
+# round(score, 6) tie-break so a pruned window/candidate can never hold
+# a doc that rounds into the top-k boundary
+THETA_EPS = 1e-6
 # terms with at most this many postings are decoded eagerly so their
 # bounds charge only posting-bearing windows (see wand_topk_shard)
 EAGER_DECODE_POSTINGS = 4096
@@ -152,7 +155,7 @@ def wand_topk_shard(
     out_scores: list[np.ndarray] = []
     topbuf = np.empty(0)  # running top-k exact scores across windows
     for w in order.tolist():
-        if len(topbuf) >= k and ub[w] <= topbuf.min() - 1e-6:
+        if len(topbuf) >= k and ub[w] <= topbuf.min() - THETA_EPS:
             break  # no remaining window can reach the top-k margin
         lo = int(boundary[w - 1]) if w > 0 else -1  # window is (lo, hi]
         hi = int(boundary[w])
@@ -205,7 +208,7 @@ def wand_topk_shard(
     # keep the rounding margin so boundary ties break by doc_id
     if len(docs) > k:
         s_k = np.partition(sums, len(sums) - k)[len(sums) - k]
-        cand_i = np.flatnonzero(sums >= s_k - 1e-6)
+        cand_i = np.flatnonzero(sums >= s_k - THETA_EPS)
     else:
         cand_i = np.arange(len(docs))
     sel = cand_i[np.lexsort((docs[cand_i], -np.round(sums[cand_i], 6)))][:k]
@@ -248,7 +251,7 @@ def taat_topk_shard(
         # kth-largest exact score, then keep every candidate within the
         # rounding margin so rounded ties at the boundary break by doc_id
         s_k = np.partition(sums, len(sums) - k)[len(sums) - k]
-        cand = np.flatnonzero(sums >= s_k - 1e-6)
+        cand = np.flatnonzero(sums >= s_k - THETA_EPS)
     else:
         cand = np.arange(len(uniq))
     order = cand[np.lexsort((uniq[cand], -np.round(sums[cand], 6)))][:k]
@@ -397,6 +400,8 @@ def wand_topk(
     shared spec (driver-side tokenize_py on the tiny query set — parity
     with the index-side tokenizer is covered by tests).
     """
+    if index.df_map is not None:
+        index.assert_serving_fresh()
     mode = index.stats.get("mode", "text")
     query_terms = {
         qid: sorted(set(tokenize_py(text, mode=mode))) for qid, text in queries

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from alertsage_spark.operators import similarity
 
@@ -89,6 +90,25 @@ def test_cosine_dup_pairs_exact_vs_numpy(spark, emb, emb_np):
     for i, j in zip(iu, ju):
         if cos[i, j] >= 0.5:
             a, b = sorted((int(ids[i]), int(ids[j])))
+            truth[(a, b)] = float(cos[i, j])
+    assert got == truth
+
+
+def test_cosine_dup_pairs_exact_string_ids(spark, emb, emb_np):
+    """String id columns work (hash-based blocking, ADVICE r02): same
+    pair set as the numeric run, ids ordered lexicographically."""
+    ids, mat = emb_np
+    semb = emb.select(
+        F.format_string("v%05d", "vec_id").alias("vec_id"), "embedding"
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.cosine_dup_pairs_exact(semb, threshold=0.5).collect()}
+    cos = np.round(mat @ mat.T, 5)
+    truth = {}
+    iu, ju = np.triu_indices(len(ids), k=1)
+    for i, j in zip(iu, ju):
+        if cos[i, j] >= 0.5:
+            a, b = sorted((f"v{int(ids[i]):05d}", f"v{int(ids[j]):05d}"))
             truth[(a, b)] = float(cos[i, j])
     assert got == truth
 
