@@ -167,7 +167,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str) -> Segment
 
     segs = spark.read.option(
         "basePath", os.path.join(paths.root, "segments")
-    ).parquet(paths.segments_glob)
+    ).parquet(*paths.group_dirs())
     salted_termstats_from_segments(segs).write.mode("overwrite").parquet(
         paths.termstats
     )

@@ -129,6 +129,15 @@ class IndexPaths:
     def segments_glob(self) -> str:
         return os.path.join(self.root, "segments", "group=*")
 
+    def group_dirs(self) -> list[str]:
+        """Concrete committed group directories. Readers pass these to
+        spark.read.parquet instead of segments_glob: a glob path makes
+        Spark's FileStreamSink probe log a full FileNotFoundException
+        stack trace (benign but noisy) on every read."""
+        import glob as _glob
+
+        return sorted(_glob.glob(self.segments_glob))
+
     @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
@@ -440,7 +449,7 @@ def build_segments(
     if len(all_done) >= n_groups:
         segs = spark.read.option(
             "basePath", os.path.join(paths.root, "segments")
-        ).parquet(paths.segments_glob)
+        ).parquet(*paths.group_dirs())
         salted_termstats_from_segments(segs).write.mode("overwrite").parquet(
             paths.termstats
         )
@@ -591,7 +600,7 @@ def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:
     return SegmentIndex(
         segments=spark.read.option(
             "basePath", os.path.join(paths.root, "segments")
-        ).parquet(paths.segments_glob),
+        ).parquet(*paths.group_dirs()),
         termstats=spark.read.parquet(paths.termstats),
         stats=stats,
         paths=paths,

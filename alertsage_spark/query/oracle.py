@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 from collections import Counter
 
-from alertsage_spark.tokenizer import tokenize_py
+from alertsage_spark.tokenizer import code_query_terms, tokenize_py
 
 K1 = 1.2
 B = 0.75
@@ -60,7 +60,13 @@ class BM25Oracle:
     def topk(self, query_text: str, k: int = 10, min_score: float | None = None) -> list[tuple[int, float, int]]:
         """[(doc_id, score_rounded6, rank)] with the engine's tie-break:
         (round(score, 6) desc, doc_id asc)."""
-        qterms = set(tokenize_py(query_text, mode=self.mode))
+        if self.mode == "code":
+            # same exact-identifier short-circuit as the engine
+            # (tokenizer.code_query_terms): known base tokens contribute
+            # only exact postings; trigram fallback for unknown tokens
+            qterms = set(code_query_terms(query_text, self.df.__contains__))
+        else:
+            qterms = set(tokenize_py(query_text, mode=self.mode))
         hits = []
         for doc_id in self.doc_tfs:
             s = self.score(qterms, doc_id)

@@ -59,7 +59,7 @@ from alertsage_spark.index.compress import (
     varbyte_decode,
 )
 from alertsage_spark.index.segments import SegmentIndex, decode_doclen_row
-from alertsage_spark.tokenizer import tokenize_py
+from alertsage_spark.tokenizer import code_query_terms, tokenize_py
 
 # prune/candidate margin: must stay strictly tighter than the
 # round(score, 6) tie-break so a pruned window/candidate can never hold
@@ -279,6 +279,19 @@ def _resolve_algo(algo: str, rows: list[tuple[dict, float]]) -> str:
     return "wand" if sel and n_post > 5_000 else "taat"
 
 
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """0-row result with the standard top-k schema, as a range(0) plan:
+    createDataFrame([]) (and an empty pandas batch) both fall back to a
+    defaultParallelism-partition parallelize whose empty tasks cost
+    ~0.35 s of scheduling on local[32]."""
+    return spark.range(0).select(
+        F.lit("").alias("query_id"),
+        F.col("id").alias("doc_id"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).cast("int").alias("rank"),
+    )
+
+
 def _local_topk(
     spark: SparkSession,
     index: SegmentIndex,
@@ -326,8 +339,19 @@ def _local_topk(
         hits.sort(key=lambda h: (-round(h[1], 6), h[0]))
         for rank, (doc, score) in enumerate(hits[:k], start=1):
             out.append((qid, int(doc), round(score, 6), rank))
+    # Arrow path: createDataFrame(pandas) materializes as a single local
+    # batch (~25 ms) where createDataFrame(list) parallelizes to
+    # defaultParallelism tasks and costs ~0.35 s of pure scheduling per
+    # query on local[32] — measured 13x, the dominant term of serving
+    # latency before this change. The EMPTY case must not go through
+    # pandas either (an empty batch falls back to parallelize and costs
+    # the same 0.35 s — measured; it made no-match queries 2.5x slower
+    # than matching ones): emit a 0-row plan from range(0) instead.
+    if not out:
+        return _empty_topk(spark)
+    pdf = pd.DataFrame(out, columns=["query_id", "doc_id", "score", "rank"])
     return spark.createDataFrame(
-        out, "query_id string, doc_id long, score double, rank int"
+        pdf, "query_id string, doc_id long, score double, rank int"
     )
 
 
@@ -335,6 +359,17 @@ def _local_topk(
 # more than this many postings to the driver would cost more than the
 # distributed job it avoids)
 FAST_PATH_MAX_POSTINGS = 2_000_000
+
+# which path served each wand_topk call — bench reads this so a latency
+# regression is diagnosable (fast-path miss vs slow fast-path)
+SERVING_COUNTERS = {"fast_path": 0, "distributed": 0}
+
+
+def reset_serving_counters() -> dict:
+    prev = dict(SERVING_COUNTERS)
+    SERVING_COUNTERS["fast_path"] = 0
+    SERVING_COUNTERS["distributed"] = 0
+    return prev
 
 
 def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
@@ -403,12 +438,36 @@ def wand_topk(
     if index.df_map is not None:
         index.assert_serving_fresh()
     mode = index.stats.get("mode", "text")
-    query_terms = {
-        qid: sorted(set(tokenize_py(text, mode=mode))) for qid, text in queries
-    }
+    queries = list(queries)
+    if mode == "code":
+        # exact-identifier short-circuit: expand to trigram terms only
+        # for base tokens absent from the vocabulary (tokenizer.
+        # code_query_terms). has_term comes from df_map in serving mode
+        # (zero-job) or one small termstats probe on the base tokens.
+        if index.df_map is not None:
+            has_term = index.df_map.__contains__
+        else:
+            base = sorted(
+                {t for _qid, text in queries for t in tokenize_py(text, mode="text")}
+            )
+            present = {
+                r["term"]
+                for r in index.termstats.filter(F.col("term").isin(base))
+                .select("term")
+                .collect()
+            }
+            has_term = present.__contains__
+        query_terms = {
+            qid: sorted(set(code_query_terms(text, has_term)))
+            for qid, text in queries
+        }
+    else:
+        query_terms = {
+            qid: sorted(set(tokenize_py(text, mode=mode))) for qid, text in queries
+        }
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
     if not all_terms:
-        return spark.createDataFrame([], "query_id string, doc_id long, score double, rank int")
+        return _empty_topk(spark)
     n_docs = index.stats["n_docs"]
     if index.df_map is not None:
         # serving mode (prepare_for_queries): zero-job idf lookup
@@ -428,7 +487,9 @@ def wand_topk(
     if index.df_map is not None and index.dl_map is not None:
         total_df = sum(index.df_map.get(t, 0) for t in all_terms)
         if total_df <= FAST_PATH_MAX_POSTINGS:
+            SERVING_COUNTERS["fast_path"] += 1
             return _local_topk(spark, index, query_terms, idf_map, k, algo, avgdl_f)
+    SERVING_COUNTERS["distributed"] += 1
     avgdl = float(index.stats["avgdl"])
     # algo == "auto" resolves per (query, shard) inside the scorer from
     # idf structure + matched-postings volume (see _make_scorer)

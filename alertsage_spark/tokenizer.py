@@ -105,6 +105,35 @@ def tokenize_py(text: str, mode: str = "text") -> list[str]:
     return toks
 
 
+def token_trigrams(tok: str) -> list[str]:
+    """'#'-prefixed character trigrams of one (already normalized)
+    token; empty below TRIGRAM_MIN_LEN. Same spec as the index side."""
+    if len(tok) < TRIGRAM_MIN_LEN:
+        return []
+    return [TRIGRAM_PREFIX + tok[i : i + 3] for i in range(len(tok) - 2)]
+
+
+def code_query_terms(query_text: str, has_term) -> list[str]:
+    """QUERY-side code-mode term expansion with the exact-identifier
+    short-circuit (r02 verdict: every >=4-char query term fanned out to
+    its trigrams unconditionally, so an exact identifier hit still paid
+    the trigram-postings union — the dominant code-query cost).
+
+    A base token that EXISTS in the index vocabulary (``has_term``)
+    contributes only its exact postings; trigram terms are added only
+    for unknown tokens (partial / misspelled identifiers), where fuzzy
+    matching is the point. Deterministic given the index vocabulary;
+    the Python oracle applies the same rule (query/oracle.py), so
+    rank-identity is testable on both the exact-hit and fallback paths.
+    """
+    out: list[str] = []
+    for tok in tokenize_py(query_text, mode="text"):
+        out.append(tok)
+        if not has_term(tok):
+            out.extend(token_trigrams(tok))
+    return out
+
+
 def tokenize_pandas_udf(mode: str = "text"):
     """Vectorized Arrow/pandas UDF form (Series[str] -> Series[list[str]]).
 
