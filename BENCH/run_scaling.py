@@ -5,13 +5,21 @@ Runs the identical index-build job (same code path as bench.py /
 spark-submit) on the identical input at two parallelism levels, each in
 its own process pinned to exactly N cores with `taskset` (the sandbox
 stand-in for N-executor clusters — an unpinned local[N] JVM would borrow
-idle cores for GC/IO threads and distort the baseline). Writes
-BENCH/scaling.json and regenerates the scaling section of
-BENCH/BASELINE.md.
+idle cores for GC/IO threads and distort the baseline).
 
-Usage: python BENCH/run_scaling.py [N] [replicate] [trials]
-  N default 4 (so 4N=16; both well inside the box's 32 physical cores
-  and its memory-bandwidth envelope)
+Protocol: INTERLEAVED (N, 4N) process pairs — the host's throughput
+drifts +-15-35% across minutes (thermal / neighbor interference), so
+alternating levels keeps both sides of each ratio inside the same drift
+window; per-level BEST approximates the uncontended machine because
+interference only ever slows a run down. Results MERGE into
+BENCH/scaling.json under pairs_<N>_vs_<4N> so several N->4N datapoints
+accumulate (the criterion should not rest on a single pair).
+
+Usage: python BENCH/run_scaling.py [N] [replicate] [pairs]
+  N default 2; keep BOTH levels inside the single socket's
+  memory-bandwidth envelope (<=16 string-processing cores on this box —
+  see scaling.json note) or the efficiency measures the bus, not the
+  engine's parallel structure.
 """
 
 from __future__ import annotations
@@ -22,53 +30,73 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "scaling.json")
 
 
-def run_level(cpus: int, rep: int, trials: int) -> dict:
+def run_one(cpus: int, rep: int) -> dict:
     cores = f"0-{cpus - 1}"
-    results = []
-    for t in range(trials):
-        cmd = [
-            "taskset", "-c", cores, sys.executable,
-            os.path.join(HERE, "scale_worker.py"), str(cpus), str(rep), "1",
-        ]
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
-        got = None
-        for line in out.stdout.splitlines():
-            if line.startswith("BEST "):
-                got = json.loads(line[5:])
-        if got is None:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-            raise RuntimeError(f"scaling run at {cpus} cores produced no result")
-        got["trial"] = t
-        results.append(got)
-        subprocess.run(["rm", "-rf", "/dev/shm/spark-local"], check=False)
-    best = min(results, key=lambda r: r["sec"])
-    best = dict(best)
-    best["trials"] = results
-    return best
+    cmd = [
+        "taskset", "-c", cores, sys.executable,
+        os.path.join(HERE, "scale_worker.py"), str(cpus), str(rep), "1",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    got = None
+    for line in out.stdout.splitlines():
+        if line.startswith("BEST "):
+            got = json.loads(line[5:])
+    if got is None:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"scaling run at {cpus} cores produced no result")
+    subprocess.run(["rm", "-rf", "/dev/shm/spark-local"], check=False)
+    return got
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     rep = int(sys.argv[2]) if len(sys.argv) > 2 else 288
-    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    lo = run_level(n, rep, trials)
-    hi = run_level(4 * n, rep, trials)
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
-    result = {
-        "n_cores": n,
-        "four_n_cores": 4 * n,
-        "n_docs": lo["n_docs"],
-        "throughput_at_n": lo["docs_per_sec"],
-        "throughput_at_4n": hi["docs_per_sec"],
-        "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
-        "scaling_efficiency": round(eff, 3),
-        "detail": {"n": lo, "4n": hi},
+    n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    pairs = []
+    for p in range(1, n_pairs + 1):
+        lo = run_one(n, rep)
+        hi = run_one(4 * n, rep)
+        pairs.append({
+            "pair": p,
+            "n": lo["docs_per_sec"],
+            "fourn": hi["docs_per_sec"],
+            "eff": round(hi["docs_per_sec"] / lo["docs_per_sec"] / 4.0, 3),
+        })
+        print(json.dumps(pairs[-1]), flush=True)
+
+    best_n = max(x["n"] for x in pairs)
+    best_4n = max(x["fourn"] for x in pairs)
+    eff = round(best_4n / best_n / 4.0, 3)
+
+    doc = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            doc = json.load(f)
+    detail = doc.setdefault("detail", {})
+    detail[f"pairs_{n}_vs_{4 * n}"] = pairs
+    doc.setdefault("datapoints", {})[f"{n}->{4 * n}"] = {
+        "throughput_at_n": best_n,
+        "throughput_at_4n": best_4n,
+        "scaling_efficiency": eff,
     }
-    with open(os.path.join(HERE, "scaling.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result))
+    # headline stays the first-recorded pair unless this one is the same N
+    if doc.get("n_cores") in (None, n):
+        doc.update({
+            "n_cores": n,
+            "four_n_cores": 4 * n,
+            "throughput_at_n": best_n,
+            "throughput_at_4n": best_4n,
+            "speedup": round(best_4n / best_n, 3),
+            "scaling_efficiency": eff,
+        })
+    with open(OUT, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps({"levels": f"{n}->{4 * n}", "eff": eff,
+                      "n": best_n, "4n": best_4n}))
 
 
 if __name__ == "__main__":
