@@ -70,13 +70,13 @@ _DRIVER_WINDOW: list[str] = [
     # -- rows-only, never driver-run (prove they execute cleanly) --
     "ml_hybrid_features", "sim_ann_ivf_topk", "rel_agg_approx_distinct",
     # -- new this round --
-    "sim_dup_pairs_prod",
+    "sim_dup_pairs_prod", "ft_bm25_code_topk",
     # -- keep-set: flagship entries that must stay driver-verified --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity", "ft_fingerprint",
     "ft_corpus_stats", "ft_term_df_top20", "ft_doclen",
     "dedup_exact_stats", "dedup_jaccard_verified", "sim_cosine_topk",
-    "sim_dup_pairs_exact", "mm_frame_sample_plan", "rel_join_chain",
+    "sim_dup_pairs_exact", "mm_frame_sample_plan",
 ]
 
 
@@ -2154,6 +2154,133 @@ def stream_sessionize(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return out
+
+
+# --- code-mode BM25, driver-oracled (the north-rule code workload) ---
+
+# Code-mode tokens in DuckDB: base tokens (shared normalization) plus
+# '#'-prefixed character trigrams of every token >= 4 chars — the same
+# spec as tokenizer.tokenize_col(mode='code').
+_CODE_TOKS_CTE = f"""
+btoks AS (SELECT doc_id, {duckdb_tokens_sql("text")} AS bt FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_concat(bt,
+           flatten(list_transform(
+             list_filter(bt, x -> length(x) >= 4),
+             x -> list_transform(generate_series(1, length(x) - 2),
+                                 i -> '#' || substr(x, CAST(i AS INT), 3))))) AS t
+  FROM btoks),
+doclen AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doclen),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY term, doc_id
+),
+termstats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM postings GROUP BY term
+)
+"""
+
+# exact path (known tokens), trigram-fuzzy path (unknown token), mixed
+_CODE_QUERIES = [
+    ("CODE_EXACT", "spark window merge"),
+    ("CODE_PARTIAL", "filterz"),
+    ("CODE_MIXED", "stream sortzz"),
+]
+
+
+def _code_bm25_oracle_sql(k: int = 10) -> str:
+    values = ",\n    ".join(
+        f"({_sql_quote(cid)}, {_sql_quote(text)})" for cid, text in _CODE_QUERIES
+    )
+    qtoks = duckdb_tokens_sql("query_text")
+    return f"""
+WITH {_CODE_TOKS_CTE},
+queries(query_id, query_text) AS (VALUES
+    {values}
+),
+qbase AS (
+  SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM queries
+),
+-- exact-identifier short-circuit (tokenizer.code_query_terms): trigram
+-- terms only for base tokens ABSENT from the index vocabulary
+qtris0 AS (
+  SELECT query_id, term,
+         unnest(generate_series(1, length(term) - 2)) AS i
+  FROM qbase
+  WHERE length(term) >= 4
+    AND term NOT IN (SELECT term FROM termstats)
+),
+qterms AS (
+  SELECT query_id, term FROM qbase
+  UNION
+  SELECT DISTINCT query_id, '#' || substr(term, CAST(i AS INT), 3) AS term
+  FROM qtris0
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+            * (p.tf * (1.2 + 1.0))
+            / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) ) AS score
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN termstats s USING (term)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS "rank"
+  FROM scored
+)
+SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
+def _code_index_for(spark: SparkSession, sf_dir: str):
+    """Code-mode compressed segment index over the documents fixture,
+    built once per process per sf_dir."""
+    import tempfile
+
+    from alertsage_spark.index.segments import build_segments, load_index
+
+    key = f"code:{sf_dir}"
+    if key not in _SEG_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="catalog_cidx_")
+        build_segments(
+            spark,
+            tbl(spark, sf_dir, "documents").select("doc_id", "text"),
+            d,
+            n_shards=8,
+            n_groups=1,
+            mode="code",
+            resume=False,
+        )
+        _SEG_INDEX_CACHE[key] = load_index(spark, d).prepare_for_queries()
+    return _SEG_INDEX_CACHE[key]
+
+
+@register("ft_bm25_code_topk", _code_bm25_oracle_sql(10))
+def ft_bm25_code_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule code workload, driver-hash-verified end-to-end: a
+    CODE-mode index (identifier tokens + '#'-trigram expansion) over the
+    documents corpus, queried through wand_topk with the
+    exact-identifier short-circuit. The DuckDB oracle implements the
+    full code tokenizer AND the short-circuit in SQL, so the hash match
+    certifies index-side trigram expansion, query-side short-circuit
+    semantics, and BM25 scoring in one row. Query set covers the exact
+    path (known tokens), the trigram-fuzzy path (unknown 'exfiltr'
+    matching exfiltration docs), and a mixed query."""
+    from alertsage_spark.query.wand import wand_topk
+
+    idx = _code_index_for(spark, sf_dir)
+    return wand_topk(spark, idx, _CODE_QUERIES, k=10, algo="auto")
 
 
 # --- production-regime embedding dedup (M5 at its real operating point) ---
