@@ -23,9 +23,12 @@ reproduces the document exactly. For a re-ingest with CHANGED content
 the result is a deterministic per-term/per-doc upper envelope, not
 either single version: tf can come from one version and dl from the
 other, and terms present only in the old version persist. Replacing a
-document's content requires a delete/upsert pass (out of scope here);
-append + merge assumes appends carry new doc_ids or identical bytes —
-the invariant build_segments' fidelity gate enforces upstream.
+document's content therefore goes through the tombstone path:
+``delete_docs`` (segments.py) -> ``merge_segments`` (this merge drops
+tombstoned doclens/postings and recomputes stats) -> append the new
+version. Plain append + merge assumes appends carry new doc_ids or
+identical bytes — the invariant build_segments' fidelity gate enforces
+upstream.
 
 Global stats are RECOMPUTED from the merged segments (salted termstats
 + doclen re-aggregation), never copied from the source index: the
@@ -49,6 +52,7 @@ from alertsage_spark.index.compress import (
 from alertsage_spark.index.segments import (
     _SEG_COLS,
     SEGMENT_SCHEMA,
+    TOMBSTONE_TERM,
     IndexPaths,
     SegmentIndex,
     _doclen_row,
@@ -62,6 +66,17 @@ def _shard_merger():
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
         isnull = pdf["term"].isna()
+        # 0) the shard's tombstone rows (delete_docs): these doc ids are
+        #    physically dropped from doclens and postings below, and the
+        #    tombstone rows themselves are not re-emitted — after the
+        #    merge the deletion is durable and stats are recomputed
+        #    without the deleted docs
+        istomb = pdf["term"] == TOMBSTONE_TERM
+        deleted = np.empty(0, dtype=np.int64)
+        if istomb.any():
+            deleted = np.unique(np.concatenate(
+                [decode_doclen_row(r)[0] for _, r in pdf[istomb].iterrows()]
+            ))
         # 1) merge the shard's doclen rows; re-ingested docs keep MAX dl
         #    (the same deterministic rule as the max-tf posting merge)
         docs_all, dls_all = [], []
@@ -69,11 +84,17 @@ def _shard_merger():
             d, l = decode_doclen_row(r)
             docs_all.append(d)
             dls_all.append(l)
+        if not docs_all:
+            # shard holds only tombstones (ids that never existed here)
+            return pd.DataFrame(columns=_SEG_COLS)
         docs = np.concatenate(docs_all)
         dls = np.concatenate(dls_all)
         uniq_docs = np.unique(docs)
         dl_merged = np.zeros(len(uniq_docs), dtype=np.int64)
         np.maximum.at(dl_merged, np.searchsorted(uniq_docs, docs), dls)
+        if len(deleted):
+            live = np.isin(uniq_docs, deleted, invert=True)
+            uniq_docs, dl_merged = uniq_docs[live], dl_merged[live]
         out = [_doclen_row(shard_id, uniq_docs, dl_merged)]
         # 2) merge each term's runs against the local doc-length array,
         #    accumulating all merged lists for ONE batch encode (two
@@ -82,7 +103,7 @@ def _shard_merger():
         terms: list[str] = []
         docs_cat, tfs_cat, dls_cat = [], [], []
         term_starts = [0]
-        for term, grp in pdf[~isnull].groupby("term", sort=False):
+        for term, grp in pdf[~isnull & ~istomb].groupby("term", sort=False):
             docs_runs, tfs_runs = [], []
             for _, r in grp.iterrows():
                 d, t = decode_posting_list(r)
@@ -98,6 +119,11 @@ def _shard_merger():
                 agg = np.zeros(len(u), dtype=np.int64)
                 np.maximum.at(agg, np.searchsorted(u, d), t)
                 d, t = u, agg
+            if len(deleted):
+                live = np.isin(d, deleted, invert=True)
+                d, t = d[live], t[live]
+                if not len(d):
+                    continue
             idx = np.searchsorted(uniq_docs, d)
             if idx.max(initial=-1) >= len(uniq_docs) or not np.array_equal(
                 uniq_docs[idx], d

@@ -70,6 +70,18 @@ _SEG_COLS = [
     "block_min_dls", "block_doc_offsets", "block_tf_offsets",
 ]
 
+# Reserved term marking a tombstone row (deleted doc ids ride in
+# doc_bytes using the doclen-row encoding). Can never collide with real
+# tokens: the tokenizer emits only [a-z][a-z0-9]+ and '#'-prefixed
+# trigrams. LSM delete semantics: a tombstone excludes its doc ids from
+# ALL query results immediately (kernels mask candidates shard-locally);
+# global stats (n_docs/avgdl/df) stay stale until merge_segments, which
+# physically drops deleted postings, doclens, and the tombstones, then
+# recomputes stats — the standard Lucene-style lifecycle. Re-ingesting a
+# deleted doc_id requires a merge first (deletion is not sequenced
+# against later appends).
+TOMBSTONE_TERM = "!deleted!"
+
 MANIFEST_SCHEMA = (
     "build_id string, group_id int, n_shards int, n_groups int, "
     "n_docs long, n_terms long, n_postings long, "
@@ -154,7 +166,9 @@ def salted_termstats_from_segments(segments: DataFrame, n_salts: int = 8) -> Dat
     per posting). The salt keeps the reduce side spread even when vocab
     is tiny relative to shards."""
     return (
-        segments.filter(F.col("term").isNotNull())
+        segments.filter(
+            F.col("term").isNotNull() & (F.col("term") != TOMBSTONE_TERM)
+        )
         .groupBy("term", F.pmod(F.col("shard_id"), F.lit(n_salts)).alias("salt"))
         .agg(F.sum("df_local").alias("df_p"), F.sum("cf_local").alias("cf_p"))
         .groupBy("term")
@@ -473,6 +487,67 @@ def build_segments(
             json.dump(stats, f)
         os.replace(tmp, paths.stats_json)
     return {"stats": stats, "metrics": metrics}
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """LSM delete: append ONE tombstone group marking ``doc_ids`` as
+    deleted (see TOMBSTONE_TERM for the semantics/lifecycle contract).
+
+    ``doc_ids``: a DataFrame with a ``doc_id`` column, or a Python
+    iterable of ids. Ids are routed to their shard with the build's
+    shard_col rule and encoded per shard exactly like a doclen row
+    (sorted delta+varbyte ids, zero lengths), so every decoder already
+    understands the row. The group lands via the same staging+rename
+    append_group uses (crash-safe); returns the new group id. Scales:
+    one narrow shuffle on shard_id, one tombstone row per touched shard,
+    no driver-side id list."""
+    import glob as _glob
+
+    paths = IndexPaths(index_dir)
+    with open(paths.config_json) as f:
+        cfg = json.load(f)
+    n_shards = int(cfg["n_shards"])
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+
+    def build_tomb(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from alertsage_spark.index.compress import delta_encode, varbyte_encode
+
+        shard_id = int(key[0])
+        d = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64))
+        row = {
+            "shard_id": shard_id,
+            "term": TOMBSTONE_TERM,
+            "df_local": int(len(d)),
+            "cf_local": 0,
+            "n_postings": int(len(d)),
+            "doc_bytes": varbyte_encode(delta_encode(d.astype(np.uint64))),
+            "tf_bytes": varbyte_encode(np.zeros(len(d), dtype=np.uint64)),
+            "block_last_docs": [int(d[-1])] if len(d) else [],
+            "block_max_tfs": [],
+            "block_min_dls": [],
+            "block_doc_offsets": [0, 0],
+            "block_tf_offsets": [0, 0],
+        }
+        row["block_doc_offsets"] = [0, len(row["doc_bytes"])]
+        row["block_tf_offsets"] = [0, len(row["tf_bytes"])]
+        return pd.DataFrame([row], columns=_SEG_COLS)
+
+    tomb = (
+        ids.withColumn("shard_id", shard_col(F.col("doc_id"), n_shards))
+        .groupBy("shard_id")
+        .applyInPandas(build_tomb, schema=SEGMENT_SCHEMA)
+    )
+    existing = _glob.glob(os.path.join(paths.root, "segments", "group=*"))
+    g = 1 + max((int(p.rsplit("=", 1)[1]) for p in existing), default=-1)
+    final = paths.group_dir(g)
+    tmp = os.path.join(os.path.dirname(final), f"_staging_group_{g}")
+    tomb.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
+    return g
 
 
 def append_group(spark: SparkSession, dst_dir: str, src_dir: str) -> int:

@@ -58,8 +58,22 @@ from alertsage_spark.index.compress import (
     delta_decode,
     varbyte_decode,
 )
-from alertsage_spark.index.segments import SegmentIndex, decode_doclen_row
+from alertsage_spark.index.segments import (
+    TOMBSTONE_TERM,
+    SegmentIndex,
+    decode_doclen_row,
+)
 from alertsage_spark.tokenizer import code_query_terms, tokenize_py
+
+
+def _in_sorted(a: np.ndarray, sorted_vals: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``a`` in a SORTED int array (searchsorted —
+    no hash set materialization)."""
+    if not len(sorted_vals):
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(sorted_vals, a)
+    idx[idx == len(sorted_vals)] = 0  # out-of-range: compare vs [0], always False
+    return sorted_vals[idx] == a
 
 # prune/candidate margin: must stay strictly tighter than the
 # round(score, 6) tie-break so a pruned window/candidate can never hold
@@ -93,8 +107,13 @@ def wand_topk_shard(
     dl_vals: np.ndarray,
     k: int,
     avgdl: float,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized Block-Max evaluation over one shard (exact top-k).
+
+    ``deleted``: sorted doc ids masked per window BEFORE entering the
+    running top-k buffer, so the pruning threshold never rests on a
+    tombstoned doc's score.
 
     The doc-id space is partitioned into windows at the union of all
     terms' block-boundary doc ids; each window is covered by exactly one
@@ -194,6 +213,11 @@ def wand_topk_shard(
             u, inv = np.unique(dd, return_inverse=True)
             sums = np.zeros(len(u))
             np.add.at(sums, inv, sc)
+        if deleted is not None and len(deleted):
+            keep = ~_in_sorted(u, deleted)
+            u, sums = u[keep], sums[keep]
+            if not len(u):
+                continue
         out_docs.append(u)
         out_scores.append(sums)
         cand = np.concatenate((topbuf, sums))
@@ -221,8 +245,10 @@ def taat_topk_shard(
     dl_vals: np.ndarray,
     k: int,
     avgdl: float,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
-    """Vectorized exact TAAT: decode every matched posting, one group-sum."""
+    """Vectorized exact TAAT: decode every matched posting, one group-sum.
+    ``deleted``: sorted doc ids dropped before the top-k selection."""
     all_docs = []
     all_scores = []
     for row, idf in term_rows:
@@ -247,6 +273,11 @@ def taat_topk_shard(
     uniq, inv = np.unique(docs, return_inverse=True)
     sums = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(sums, inv, scores)
+    if deleted is not None and len(deleted):
+        keep = ~_in_sorted(uniq, deleted)
+        uniq, sums = uniq[keep], sums[keep]
+        if not len(uniq):
+            return []
     if len(uniq) > k:
         # kth-largest exact score, then keep every candidate within the
         # rounding margin so rounded ties at the boundary break by doc_id
@@ -311,12 +342,22 @@ def _local_topk(
     arrays, and materialize the (<= k x queries)-row result. Exactness
     is identical by construction — same kernels, same tie-break."""
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
-    seg_rows = index.segments.filter(F.col("term").isin(all_terms)).collect()
+    seg_rows = index.segments.filter(
+        F.col("term").isin(all_terms) | (F.col("term") == TOMBSTONE_TERM)
+    ).collect()
     by_shard_term: dict[int, dict[str, list]] = {}
+    tomb_by_shard: dict[int, list] = {}
     for r in seg_rows:
+        if r["term"] == TOMBSTONE_TERM:
+            tomb_by_shard.setdefault(int(r["shard_id"]), []).append(r)
+            continue
         by_shard_term.setdefault(int(r["shard_id"]), {}).setdefault(
             r["term"], []
         ).append(r)
+    del_by_shard = {
+        sid: np.unique(np.concatenate([decode_doclen_row(r)[0] for r in rs]))
+        for sid, rs in tomb_by_shard.items()
+    }
     out = []
     for qid, terms in query_terms.items():
         hits: list[tuple[int, float]] = []
@@ -335,7 +376,10 @@ def _local_topk(
                 if _resolve_algo(algo, rows) == "wand"
                 else taat_topk_shard
             )
-            hits.extend(shard_fn(rows, dl_docs, dl_vals, k, avgdl))
+            hits.extend(
+                shard_fn(rows, dl_docs, dl_vals, k, avgdl,
+                         deleted=del_by_shard.get(sid))
+            )
         hits.sort(key=lambda h: (-round(h[1], 6), h[0]))
         for rank, (doc, score) in enumerate(hits[:k], start=1):
             out.append((qid, int(doc), round(score, 6), rank))
@@ -388,7 +432,14 @@ def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
         dl_vals = np.concatenate([p[1] for p in dl_parts])
         order = np.argsort(dl_docs, kind="stable")
         dl_docs, dl_vals = dl_docs[order], dl_vals[order]
-        seg_pdf = pdf[pdf["term"].notna()]
+        notna = pdf[pdf["term"].notna()]
+        tomb_pdf = notna[notna["term"] == TOMBSTONE_TERM]
+        deleted = None
+        if not tomb_pdf.empty:
+            deleted = np.unique(
+                np.concatenate([decode_doclen_row(r)[0] for _, r in tomb_pdf.iterrows()])
+            )
+        seg_pdf = notna[notna["term"] != TOMBSTONE_TERM]
         if seg_pdf.empty:
             return out_empty
         # one row per (term, committed group): an un-compacted index has
@@ -412,7 +463,7 @@ def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
                 if _resolve_algo(algo, rows) == "wand"
                 else taat_topk_shard
             )
-            hits = shard_fn(rows, dl_docs, dl_vals, k, avgdl)
+            hits = shard_fn(rows, dl_docs, dl_vals, k, avgdl, deleted=deleted)
             for d, s in hits:
                 out_q.append(qid)
                 out_d.append(d)
@@ -494,7 +545,9 @@ def wand_topk(
     # algo == "auto" resolves per (query, shard) inside the scorer from
     # idf structure + matched-postings volume (see _make_scorer)
     seg = index.segments.filter(
-        F.col("term").isin(all_terms) | F.col("term").isNull()
+        F.col("term").isin(all_terms)
+        | F.col("term").isNull()
+        | (F.col("term") == TOMBSTONE_TERM)
     )
     scorer = _make_scorer(query_terms, idf_map, avgdl, k, algo)
     candidates = seg.groupBy("shard_id").applyInPandas(

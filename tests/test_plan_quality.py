@@ -110,3 +110,13 @@ def test_minhash_join_is_equi_join_on_buckets(spark):
     plan = _plan(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_prod_dup_pairs_is_bucketed_equi_join(spark):
+    """sim_dup_pairs_prod (threshold 0.90, b=16 x t=32) must candidate
+    via the exploded-bucket equi self-join — never a cartesian/NLJ —
+    even with the derived (base + perturbed) corpus as input."""
+    plan = _plan(catalog.queries()["sim_dup_pairs_prod"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
