@@ -28,6 +28,7 @@ def __getattr__(name):  # PEP 562
         "build_segments": "alertsage_spark.index.segments",
         "load_index": "alertsage_spark.index.segments",
         "append_group": "alertsage_spark.index.segments",
+        "delete_docs": "alertsage_spark.index.segments",
         "suggest_n_shards": "alertsage_spark.index.segments",
         "merge_segments": "alertsage_spark.index.merge",
         "maybe_compact": "alertsage_spark.index.merge",

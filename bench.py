@@ -252,7 +252,11 @@ def main() -> None:
     def one_code_build():
         d = tempfile.mkdtemp(prefix="bench_code_", dir=TMP_ROOT)
         code_build_dirs.append(d)
-        build_segments(spark, cdocs, d, n_shards=16, n_groups=1, mode="code",
+        # 32 shards, FIXED: 16 left half the cores idle through the
+        # fat applyInPandas shard stage and any straggler doubled the
+        # tail (measured 9-17 s unstable); 32 is one task per core and
+        # stable ~6.7 s; 64 pays two waves + per-task overhead (13 s)
+        build_segments(spark, cdocs, d, n_shards=32, n_groups=1, mode="code",
                        resume=False, fidelity_hashes=cfid)
 
     t_codes = timed(one_code_build)
