@@ -116,3 +116,51 @@ def test_merge_drops_tombstones_and_refreshes_stats(spark, built, tmp_path):
         expected = oracle.topk(text, k=10)
         assert [g[1] for g in got] == [e[0] for e in expected], qid
         assert [g[2] for g in got] == [e[1] for e in expected], qid
+
+
+def test_delete_everything_then_merge_empty(spark, tmp_path):
+    """Deleting the whole corpus: queries return empty (no crash) both
+    pre- and post-merge; merged stats show zero docs."""
+    corpus = zipf_corpus(spark, 60, seed=3)
+    d = str(tmp_path / "all")
+    build_segments(spark, corpus, d, n_shards=2, n_groups=1, build_id="A")
+    delete_docs(spark, d, [r["doc_id"] for r in corpus.collect()])
+    idx = load_index(spark, d)
+    assert wand_topk(spark, idx, QUERIES, k=5).count() == 0
+    m = str(tmp_path / "all_m")
+    merge_segments(spark, d, m)
+    midx = load_index(spark, m)
+    assert midx.stats["n_docs"] == 0
+    assert wand_topk(spark, midx, QUERIES, k=5).count() == 0
+
+
+def test_delete_append_merge_interplay(spark, tmp_path):
+    """delete(A-subset) -> append(B) -> merge: the live corpus is
+    (A - deleted) + B, rank- and score-identical to a fresh oracle."""
+    from alertsage_spark.index.segments import append_group
+
+    a = zipf_corpus(spark, 1_000, seed=21).cache()
+    b = (zipf_corpus(spark, 300, seed=22)
+         .select((F.col("doc_id") + 1_000).alias("doc_id"), "text").cache())
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_segments(spark, a, da, n_shards=2, n_groups=1, build_id="A")
+    build_segments(spark, b, db, n_shards=2, n_groups=1, build_id="B")
+    victims = list(range(0, 1_000, 7))
+    delete_docs(spark, da, victims)
+    append_group(spark, da, db)
+    m = str(tmp_path / "m")
+    merge_segments(spark, da, m)
+    midx = load_index(spark, m)
+    vict = set(victims)
+    live = [(r["doc_id"], r["text"]) for r in a.collect() if r["doc_id"] not in vict]
+    live += [(r["doc_id"], r["text"]) for r in b.collect()]
+    assert midx.stats["n_docs"] == len(live)
+    oracle = BM25Oracle(live)
+    for qid, text in QUERIES:
+        got = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in wand_topk(spark, midx, [(qid, text)], k=10, algo="auto").collect()
+        )
+        expected = oracle.topk(text, k=10)
+        assert [g[1] for g in got] == [e[0] for e in expected], qid
+        assert [g[2] for g in got] == [e[1] for e in expected], qid
