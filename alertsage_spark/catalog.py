@@ -70,11 +70,11 @@ _DRIVER_WINDOW: list[str] = [
     # -- rows-only, never driver-run (prove they execute cleanly) --
     "ml_hybrid_features", "sim_ann_ivf_topk", "rel_agg_approx_distinct",
     # -- new this round --
-    "sim_dup_pairs_prod", "ft_bm25_code_topk",
+    "sim_dup_pairs_prod", "ft_bm25_code_topk", "ft_stream_ingest_bm25",
     # -- keep-set: flagship entries that must stay driver-verified --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity", "ft_fingerprint",
-    "ft_corpus_stats", "ft_term_df_top20", "ft_doclen",
+    "ft_corpus_stats", "ft_term_df_top20",
     "dedup_exact_stats", "dedup_jaccard_verified", "sim_cosine_topk",
     "sim_dup_pairs_exact", "mm_frame_sample_plan",
 ]
@@ -2154,6 +2154,57 @@ def stream_sessionize(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return out
+
+
+# --- streaming-ingested index, driver-oracled (§2.10 meets §4.2) ---
+
+
+def _stream_index_for(spark: SparkSession, sf_dir: str):
+    """Index over the documents fixture built THROUGH the streaming
+    path: readStream -> foreachBatch -> exactly-once group append
+    (streaming/ingest.py), once per process per sf_dir."""
+    import os
+    import tempfile
+
+    from alertsage_spark.index.segments import load_index
+    from alertsage_spark.streaming.ingest import stream_ingest
+
+    key = f"stream:{sf_dir}"
+    if key not in _SEG_INDEX_CACHE:
+        src = tempfile.mkdtemp(prefix="catalog_ssrc_")
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+            os.path.join(src, "documents.parquet"),
+        )
+        d = tempfile.mkdtemp(prefix="catalog_sidx_")
+        os.rmdir(d)  # stream_ingest's first batch adopts the path
+        schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("doc_id", "text")
+        )
+        q = stream_ingest(
+            stream, d, tempfile.mkdtemp(prefix="catalog_sckpt_"), n_shards=8
+        )
+        q.awaitTermination()
+        _SEG_INDEX_CACHE[key] = load_index(spark, d).prepare_for_queries()
+    return _SEG_INDEX_CACHE[key]
+
+
+@register("ft_stream_ingest_bm25", _bm25_oracle_sql(10))
+def ft_stream_ingest_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ingestion certificate: the SAME 18-query BM25
+    oracle as the flagship entry, but the index is built through
+    Structured Streaming micro-batches (exactly-once marker-committed
+    group appends + stats refresh, streaming/ingest.py). A hash-green
+    row proves the streamed index is result-identical to the batch
+    build — ingestion path cannot change answers."""
+    from alertsage_spark.query.wand import wand_topk
+
+    idx = _stream_index_for(spark, sf_dir)
+    qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
+    return wand_topk(spark, idx, qs, k=10, algo="auto")
 
 
 # --- code-mode BM25, driver-oracled (the north-rule code workload) ---

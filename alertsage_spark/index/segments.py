@@ -489,6 +489,39 @@ def build_segments(
     return {"stats": stats, "metrics": metrics}
 
 
+def refresh_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Recompute termstats + stats.json from ALL committed groups — the
+    documented post-append step (append_group / stream_ingest add
+    groups without touching global stats). Idempotent overwrite;
+    n_docs/avgdl come from the doclen rows (tombstoned docs still count
+    until merge_segments, by the LSM staleness contract)."""
+    paths = IndexPaths(index_dir)
+    with open(paths.config_json) as f:
+        cfg = json.load(f)
+    segs = spark.read.option(
+        "basePath", os.path.join(paths.root, "segments")
+    ).parquet(*paths.group_dirs())
+    salted_termstats_from_segments(segs).write.mode("overwrite").parquet(
+        paths.termstats
+    )
+    dl_row = segs.filter(F.col("term").isNull()).agg(
+        F.sum("df_local").alias("n"), F.sum("cf_local").alias("s")
+    ).collect()[0]
+    n = int(dl_row["n"] or 0)
+    stats = {
+        "n_docs": n,
+        "avgdl": (int(dl_row["s"] or 0) / n) if n else 0.0,
+        "n_shards": int(cfg["n_shards"]),
+        "n_groups": len(paths.group_dirs()),
+        "mode": cfg.get("mode", "text"),
+    }
+    tmp = paths.stats_json + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, paths.stats_json)
+    return stats
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     """LSM delete: append ONE tombstone group marking ``doc_ids`` as
     deleted (see TOMBSTONE_TERM for the semantics/lifecycle contract).

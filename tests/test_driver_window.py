@@ -24,7 +24,7 @@ NEVER_DRIVER_CHECKED = {
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
     "rel_sessionize", "stream_time_window", "stream_sessionize",
     "io_jsonl_roundtrip", "io_csv_roundtrip", "sim_dup_pairs_prod",
-    "ft_bm25_code_topk",
+    "ft_bm25_code_topk", "ft_stream_ingest_bm25",
 }
 
 # Flagship entries that must never leave the window (baseline targets).

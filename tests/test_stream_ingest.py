@@ -1,0 +1,102 @@
+"""Streaming index ingestion (streaming/ingest.py): micro-batches
+append LSM groups exactly-once; restart with a shared checkpoint picks
+up only new files; streamed index is rank-identical to the oracle over
+everything ingested so far."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from alertsage_spark.index.segments import load_index
+from alertsage_spark.query.oracle import BM25Oracle
+from alertsage_spark.query.wand import wand_topk
+from alertsage_spark.streaming.ingest import committed_batch_ids, ingest_batch, stream_ingest
+from alertsage_spark.synth import zipf_corpus
+
+QUERIES = [("Q1", "t1 t2"), ("Q2", "t200 t5")]
+
+
+def _check_rank_identity(spark, index_dir, docs_rows):
+    idx = load_index(spark, index_dir)
+    oracle = BM25Oracle(docs_rows)
+    for qid, text in QUERIES:
+        got = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in wand_topk(spark, idx, [(qid, text)], k=10, algo="auto").collect()
+        )
+        expected = oracle.topk(text, k=10)
+        assert [g[1] for g in got] == [e[0] for e in expected], qid
+        assert [g[2] for g in got] == [e[1] for e in expected], qid
+
+
+def _drop_files(df, src_dir: str, tag: str, tmp_root: str) -> None:
+    """Write df as FLAT parquet part-files into src_dir (the file
+    source lists files at the top level)."""
+    import shutil
+
+    staging = os.path.join(tmp_root, f"stage_{tag}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    i = 0
+    for p in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        shutil.move(p, os.path.join(src_dir, f"{tag}_{i}.parquet"))
+        i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _run_stream(spark, src_dir, index_dir, ckpt):
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_ingest(stream, index_dir, ckpt, n_shards=4)
+    q.awaitTermination()
+
+
+def test_stream_ingest_and_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "sidx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    part1 = zipf_corpus(spark, 800, seed=31).cache()
+    _drop_files(part1, src, "p1", str(tmp_path))
+    _run_stream(spark, src, idx_dir, ckpt)
+    rows1 = [(r["doc_id"], r["text"]) for r in part1.collect()]
+    _check_rank_identity(spark, idx_dir, rows1)
+    n_groups_1 = len(glob.glob(os.path.join(idx_dir, "segments", "group=*")))
+    assert n_groups_1 >= 1
+    batches_1 = committed_batch_ids(idx_dir)
+    assert batches_1
+
+    # restart with NEW files against the same checkpoint: only the new
+    # data is appended, and the index now answers over everything
+    from pyspark.sql import functions as F
+
+    part2 = (
+        zipf_corpus(spark, 300, seed=32)
+        .select((F.col("doc_id") + 800).alias("doc_id"), "text")
+        .cache()
+    )
+    _drop_files(part2, src, "p2", str(tmp_path))
+    _run_stream(spark, src, idx_dir, ckpt)
+    rows2 = rows1 + [(r["doc_id"], r["text"]) for r in part2.collect()]
+    _check_rank_identity(spark, idx_dir, rows2)
+    n_groups_2 = len(glob.glob(os.path.join(idx_dir, "segments", "group=*")))
+    assert n_groups_2 > n_groups_1
+    assert load_index(spark, idx_dir).stats["n_docs"] == 1_100
+
+
+def test_redelivered_batch_is_skipped(spark, tmp_path):
+    idx_dir = str(tmp_path / "ridx")
+    docs = zipf_corpus(spark, 200, seed=33)
+    assert ingest_batch(spark, docs, 0, idx_dir, n_shards=4) is True
+    groups_before = sorted(glob.glob(os.path.join(idx_dir, "segments", "group=*")))
+    # crash-then-redeliver: same batch id arrives again
+    assert ingest_batch(spark, docs, 0, idx_dir, n_shards=4) is False
+    assert sorted(glob.glob(os.path.join(idx_dir, "segments", "group=*"))) == groups_before
+    # an empty batch is a no-op too
+    assert ingest_batch(spark, docs.limit(0), 1, idx_dir, n_shards=4) is False
+    # config drift is rejected, not silently mixed
+    with pytest.raises(ValueError, match="config mismatch"):
+        ingest_batch(spark, docs, 2, idx_dir, n_shards=8)
