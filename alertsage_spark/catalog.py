@@ -2156,6 +2156,158 @@ def stream_sessionize(spark, sf_dir):
     return out
 
 
+# --- training-data pipeline ops (round-3 additions) ---
+
+_NGRAM = 5
+
+
+@register(
+    "pipe_decontaminate",
+    f"""
+WITH toks AS (SELECT doc_id, {duckdb_tokens_sql("text")} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - {_NGRAM - 1}, 0)),
+                                 i -> array_to_string(t[i:i+{_NGRAM - 1}], ' '))) AS gram
+    FROM toks)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM grams g JOIN bench b USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+""",
+)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-overlap rule):
+    flag every document sharing at least one 5-token shingle with the
+    benchmark set, with the hit count. Benchmark = every 10th doc's
+    shingles (deterministically derived so DuckDB can mirror it; in
+    production this is the eval-suite text). Scale shape: shingles
+    explode once, benchmark side stays small and broadcasts, one
+    hash-agg on doc_id — contamination checks at 100 TB are exactly this
+    plan with the benchmark-gram set broadcast to every executor."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokenize_col(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - (_NGRAM - 1), F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice("t", i, _NGRAM), " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipe_split_train_val",
+    """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+""",
+)
+def pipe_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val assignment (~10% val): the
+    standard leakage-safe split — membership depends only on the id,
+    never on ordering, partitioning, or sampling state, so re-runs and
+    backfills land every doc on the same side. Pure JVM expression;
+    md5-hex parity with the DuckDB oracle."""
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a",
+                F.lit("val"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipe_repetition_filter",
+    f"""
+WITH toks AS (SELECT doc_id, {duckdb_tokens_sql("text")} AS t FROM documents),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS gram
+    FROM toks)
+),
+per AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 5) AS top_bigram_ratio,
+       CAST(max(c) AS BIGINT) AS top_bigram_count
+FROM per GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def pipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal (Gopher/RefinedWeb quality rule family): the
+    fraction of a document's bigrams covered by its single most frequent
+    bigram — high values mark boilerplate/degenerate text that training
+    pipelines drop. Two hash-aggs, both keyed on doc_id (+gram), so the
+    plan is shuffle-minimal and skew-free at any corpus size."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokenize_col(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda i: F.array_join(F.slice("t", i, 2), " "),
+            )
+        ).alias("gram"),
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.round(F.max("c").cast("double") / F.sum("c"), 5).alias(
+                "top_bigram_ratio"
+            ),
+            F.max("c").cast("bigint").alias("top_bigram_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("pipe_pack_sequences")  # rows-only: greedy packing isn't SQL
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample packing: greedy first-fit of documents into
+    fixed-capacity token bins (context-window packing — the op that
+    turns a filtered corpus into dense training batches). Deterministic:
+    docs are hash-routed to shards, packed in doc_id order per shard;
+    exactness pinned by tests/test_pipeline_ops.py. Scale shape: one
+    narrow shuffle on shard, per-shard greedy in an Arrow batch, bin
+    stats out — no global coordination (bins never span shards, matching
+    how packing runs per-worker in real loaders)."""
+    from alertsage_spark.operators.packing import pack_sequences
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.size(tokenize_col(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(toks, capacity=512, n_shards=8).orderBy("bin_id")
+
+
 # --- streaming-ingested index, driver-oracled (§2.10 meets §4.2) ---
 
 
