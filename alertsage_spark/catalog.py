@@ -2158,6 +2158,68 @@ def stream_sessionize(spark, sf_dir):
 
 # --- training-data pipeline ops (round-3 additions) ---
 
+_JACCARD_EDGES_SQL = f"""
+{_SHINGLE_SQL},
+jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+jedges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL SELECT id_b, id_a FROM jpairs),
+jnodes AS (SELECT DISTINCT a AS node FROM jedges),
+reach(src, dst) AS (
+  SELECT node, node FROM jnodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN jedges e ON r.dst = e.a
+)
+"""
+
+
+@register(
+    "dedup_components",
+    f"""
+WITH RECURSIVE {_JACCARD_EDGES_SQL}
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component_id
+FROM reach GROUP BY src ORDER BY doc_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: connected components (min-label
+    propagation) over the verified near-dup pairs — pairs alone don't
+    dedup a corpus; components let each cluster keep one survivor. The
+    DuckDB oracle computes the transitive closure with a recursive CTE
+    over BRUTE-FORCE Jaccard edges, so the hash match certifies the
+    full chain candidates -> verify -> component labels."""
+    docs = tbl(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text", threshold=0.5)
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+@register(
+    "dedup_survivors",
+    f"""
+WITH RECURSIVE {_JACCARD_EDGES_SQL},
+comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src),
+losers AS (SELECT doc_id FROM comp WHERE doc_id != component_id)
+SELECT d.doc_id FROM documents d
+LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL ORDER BY d.doc_id
+""",
+)
+def dedup_survivors_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: min-id survivor per near-dup component,
+    singletons untouched (one anti-join). This is the actual output a
+    training pipeline consumes after dedup."""
+    docs = tbl(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text", threshold=0.5)
+    return (
+        dedup.dedup_survivors(docs, pairs).select("doc_id").orderBy("doc_id")
+    )
+
 _NGRAM = 5
 
 

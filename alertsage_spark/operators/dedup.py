@@ -393,3 +393,92 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-GROUP resolution: connected components over the
+    near-dup pair graph by iterative min-label propagation — the step
+    real dedup pipelines run after pair detection, so each cluster can
+    keep one survivor.
+
+    Scale shape: each iteration is one equi-join + one min-agg, both
+    keyed on node id (narrow, skew-free — dup clusters are small, so a
+    node's degree is bounded); iterations needed = max component
+    diameter, which for near-dup clusters is a handful. Lineage is cut
+    with localCheckpoint per iteration so the plan doesn't grow
+    unboundedly. Deterministic: labels converge to the component's MIN
+    id regardless of execution order. (The alternating large-star/
+    small-star contraction of Kiveris et al. drops the diameter bound
+    to O(log n) for adversarial chain graphs; min-propagation is the
+    right trade for bounded dup clusters.)
+
+    Returns (doc_id, component_id) for every node that appears in at
+    least one pair; singleton documents are implicitly their own
+    component and are not emitted."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _i in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The corpus after group-level dedup: every near-dup component
+    keeps its MIN-id member; all other members are anti-joined away.
+    Singletons (never in a pair) survive untouched."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -116,3 +116,42 @@ def test_simhash_identical_fingerprints(spark):
         dedup.simhash_col(F.col("text")).alias("simhash")
     ).collect()]
     assert vals[0] == vals[1]
+
+
+def test_connected_components_shapes(spark):
+    from alertsage_spark.operators.dedup import connected_components, dedup_survivors
+
+    # two chains + a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        int(r["doc_id"]): int(r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    kept = sorted(
+        int(r["doc_id"]) for r in dedup_survivors(docs, pairs).collect()
+    )
+    # losers: 2,3,4,11,21,22; singletons (0,5..9,...) survive
+    assert set(range(30)) - set(kept) == {2, 3, 4, 11, 21, 22}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from alertsage_spark.operators.dedup import connected_components
+
+    # a long chain needs ~length iterations under min-propagation
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = {
+        int(r["doc_id"]): int(r["component_id"])
+        for r in connected_components(chain, max_iter=20).collect()
+    }
+    assert set(ok.values()) == {0} and len(ok) == 9
