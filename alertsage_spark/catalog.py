@@ -2158,6 +2158,79 @@ def stream_sessionize(spark, sf_dir):
 
 # --- training-data pipeline ops (round-3 additions) ---
 
+# Phrase queries: contiguity over the NORMALIZED token stream (the
+# tokenizer spec is the phrase semantics, not raw bytes).
+_PHRASE_QUERIES = [
+    ("P1", "table table"),
+    ("P2", "scan slow"),
+    ("P3", "batch window spark"),
+]
+
+
+def _phrase_oracle_sql() -> str:
+    from alertsage_spark.tokenizer import tokenize_py
+
+    rows = []
+    for qid, phrase in _PHRASE_QUERIES:
+        needle = " " + " ".join(tokenize_py(phrase)) + " "
+        rows.append(f"({_sql_quote(qid)}, {_sql_quote(needle)})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH toks AS (SELECT doc_id, {duckdb_tokens_sql("text")} AS t FROM documents),
+streamed AS (SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ' AS s FROM toks),
+phrases(query_id, needle) AS (VALUES
+    {values}
+)
+SELECT p.query_id, d.doc_id,
+       CAST((length(d.s) - length(replace(d.s, p.needle, '')))
+            / length(p.needle) AS BIGINT) AS n_occurrences
+FROM streamed d JOIN phrases p ON contains(d.s, p.needle)
+ORDER BY query_id, doc_id
+"""
+
+
+@register("ft_phrase_search", _phrase_oracle_sql())
+def ft_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search: the phrase's token sequence must appear
+    CONTIGUOUSLY in the document's normalized token stream (boundary-
+    delimited, so 'scan slow' never matches 'scans lower'). Occurrence
+    counts use the same non-overlapping replace rule on both engines.
+
+    Scale shape: at 100 TB the candidate set comes first from the
+    inverted index (posting intersection on the phrase's tokens — the
+    selective prefilter); the contiguity verify then runs only on
+    candidates. Here the verify expression is shown over the corpus
+    directly (the fixture is small); the posting-intersection prefilter
+    is the same plan as ft_wand's term filter."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    from alertsage_spark.tokenizer import tokenize_py
+
+    phrases = [
+        (qid, " " + " ".join(tokenize_py(p)) + " ") for qid, p in _PHRASE_QUERIES
+    ]
+    pdf = spark.createDataFrame(phrases, "query_id string, needle string")
+    streamed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), F.array_join(tokenize_col(F.col("text")), " "), F.lit(" ")
+        ).alias("s"),
+    )
+    return (
+        streamed.join(F.broadcast(pdf), F.col("s").contains(F.col("needle")))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                (F.length("s") - F.length(F.replace(F.col("s"), F.col("needle"))))
+                / F.length("needle")
+            )
+            .cast("bigint")
+            .alias("n_occurrences"),
+        )
+        .orderBy("query_id", "doc_id")
+    )
+
+
 _JACCARD_EDGES_SQL = f"""
 {_SHINGLE_SQL},
 jpairs AS (

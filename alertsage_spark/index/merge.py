@@ -205,6 +205,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str) -> Segment
     stats.update(
         {
             "n_docs": n,
+            "sum_dl": int(dl_row["s"] or 0),
             "avgdl": (int(dl_row["s"] or 0) / n) if n else 0.0,
             "n_groups": 1,
         }

@@ -476,6 +476,7 @@ def build_segments(
         n = int(dl_row["n"] or 0)
         stats = {
             "n_docs": n,
+            "sum_dl": int(dl_row["s"] or 0),
             "avgdl": (int(dl_row["s"] or 0) / n) if n else 0.0,
             "n_shards": n_shards,
             "n_groups": n_groups,
@@ -508,13 +509,71 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> dict:
         F.sum("df_local").alias("n"), F.sum("cf_local").alias("s")
     ).collect()[0]
     n = int(dl_row["n"] or 0)
+    sum_dl = int(dl_row["s"] or 0)
     stats = {
         "n_docs": n,
-        "avgdl": (int(dl_row["s"] or 0) / n) if n else 0.0,
+        "sum_dl": sum_dl,  # exact int so incremental refresh stays exact
+        "avgdl": (sum_dl / n) if n else 0.0,
         "n_shards": int(cfg["n_shards"]),
         "n_groups": len(paths.group_dirs()),
         "mode": cfg.get("mode", "text"),
     }
+    tmp = paths.stats_json + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, paths.stats_json)
+    return stats
+
+
+def refresh_stats_incremental(
+    spark: SparkSession, index_dir: str, batch_index_dir: str
+) -> dict:
+    """O(vocab + batch) stats refresh after appending ONE batch's group:
+    termstats = (old termstats UNION batch termstats) summed per term,
+    n_docs/sum_dl added as exact ints — numerically IDENTICAL to the
+    full refresh_stats recompute (all inputs are integer sums; avgdl is
+    the same single division), without rescanning every segment group.
+    This is what keeps streaming ingestion sub-linear: the full
+    recompute is O(total corpus) per micro-batch, which inverts the
+    LSM cost model at scale. Falls back to refresh_stats if the
+    existing index predates the sum_dl field."""
+    paths, bpaths = IndexPaths(index_dir), IndexPaths(batch_index_dir)
+    with open(paths.stats_json) as f:
+        old = json.load(f)
+    if "sum_dl" not in old:
+        return refresh_stats(spark, index_dir)
+    with open(bpaths.stats_json) as f:
+        batch = json.load(f)
+    merged_ts = (
+        spark.read.parquet(paths.termstats)
+        .unionByName(spark.read.parquet(bpaths.termstats))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    # swap via rename: new dir written first, then a two-step swap; a
+    # crash between the renames is recovered by refresh_stats (full)
+    new_dir = paths.termstats + ".new"
+    bak_dir = paths.termstats + ".bak"
+    import shutil as _shutil
+
+    for d in (new_dir, bak_dir):
+        if os.path.exists(d):
+            _shutil.rmtree(d)
+    merged_ts.write.parquet(new_dir)
+    os.rename(paths.termstats, bak_dir)
+    os.rename(new_dir, paths.termstats)
+    _shutil.rmtree(bak_dir)
+    n = int(old["n_docs"]) + int(batch["n_docs"])
+    sum_dl = int(old["sum_dl"]) + int(batch.get("sum_dl", round(batch["avgdl"] * batch["n_docs"])))
+    stats = dict(old)
+    stats.update(
+        {
+            "n_docs": n,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n) if n else 0.0,
+            "n_groups": len(paths.group_dirs()),
+        }
+    )
     tmp = paths.stats_json + ".tmp"
     with open(tmp, "w") as f:
         json.dump(stats, f)

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from alertsage_spark.index.segments import (
     IndexPaths,
     build_segments,
-    refresh_stats,
+    refresh_stats_incremental,
 )
 
 _MARKER = "_stream_batch.json"
@@ -115,7 +115,10 @@ def ingest_batch(
             shutil.rmtree(tmp)
         shutil.move(src_group, tmp)
         os.rename(tmp, final)  # <- commit point
-        refresh_stats(spark, index_dir)
+        # O(vocab + batch) incremental stats merge — identical result to
+        # the full recompute (exact integer sums), without the
+        # O(total corpus) rescan that would invert the LSM cost model
+        refresh_stats_incremental(spark, index_dir, stage_root)
         return True
     finally:
         if stage_root is not None:

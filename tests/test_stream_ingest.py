@@ -100,3 +100,38 @@ def test_redelivered_batch_is_skipped(spark, tmp_path):
     # config drift is rejected, not silently mixed
     with pytest.raises(ValueError, match="config mismatch"):
         ingest_batch(spark, docs, 2, idx_dir, n_shards=8)
+
+
+def test_incremental_stats_match_full_recompute(spark, tmp_path):
+    """refresh_stats_incremental (O(vocab+batch)) must produce EXACTLY
+    the same stats.json and termstats as the full O(corpus) recompute —
+    all inputs are integer sums, so not even float drift is allowed."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from alertsage_spark.index.segments import IndexPaths, refresh_stats
+
+    idx_dir = str(tmp_path / "inc")
+    b1 = zipf_corpus(spark, 400, seed=41)
+    b2 = (zipf_corpus(spark, 250, seed=42)
+          .select((F.col("doc_id") + 400).alias("doc_id"), "text"))
+    assert ingest_batch(spark, b1, 0, idx_dir, n_shards=4)
+    assert ingest_batch(spark, b2, 1, idx_dir, n_shards=4)
+    paths = IndexPaths(idx_dir)
+    with open(paths.stats_json) as f:
+        stats_inc = json.load(f)
+    ts_inc = sorted(
+        (r["term"], int(r["df"]), int(r["cf"]))
+        for r in spark.read.parquet(paths.termstats).collect()
+    )
+    refresh_stats(spark, idx_dir)  # full recompute over every group
+    with open(paths.stats_json) as f:
+        stats_full = json.load(f)
+    ts_full = sorted(
+        (r["term"], int(r["df"]), int(r["cf"]))
+        for r in spark.read.parquet(paths.termstats).collect()
+    )
+    assert stats_inc == stats_full
+    assert ts_inc == ts_full
+    assert stats_full["n_docs"] == 650
