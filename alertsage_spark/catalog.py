@@ -67,16 +67,22 @@ _DRIVER_WINDOW: list[str] = [
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
     "rel_sessionize", "stream_time_window", "stream_sessionize",
     "io_jsonl_roundtrip", "io_csv_roundtrip",
-    # -- rows-only, never driver-run (prove they execute cleanly) --
-    "ml_hybrid_features", "sim_ann_ivf_topk", "rel_agg_approx_distinct",
-    # -- new this round --
+    # -- new this round (all oracled; rows-only ml_hybrid_features /
+    # sim_ann_ivf_topk / rel_agg_approx_distinct rotate behind the
+    # window to make room — an oracled row is stronger evidence than a
+    # rows-only run; they stay pytest-covered) --
     "sim_dup_pairs_prod", "ft_bm25_code_topk", "ft_stream_ingest_bm25",
-    # -- keep-set: flagship entries that must stay driver-verified --
+    "ft_phrase_search", "dedup_components", "dedup_survivors",
+    "pipe_decontaminate", "pipe_split_train_val", "pipe_repetition_filter",
+    "ft_boolean_search", "ft_fuzzy_suggest", "ft_snippet_topdocs",
+    # -- keep-set: flagship entries that must stay driver-verified.
+    # ft_fingerprint/ft_corpus_stats/ft_term_df_top20/dedup_exact_stats/
+    # sim_cosine_topk/mm_frame_sample_plan rotated behind the window
+    # (driver-green in r02, still local-oracle-checked) to make room for
+    # this round's oracled additions. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
-    "ft_taat_topk_refqueries", "ft_sha256_fidelity", "ft_fingerprint",
-    "ft_corpus_stats", "ft_term_df_top20",
-    "dedup_exact_stats", "dedup_jaccard_verified", "sim_cosine_topk",
-    "sim_dup_pairs_exact", "mm_frame_sample_plan",
+    "ft_taat_topk_refqueries", "ft_sha256_fidelity",
+    "dedup_jaccard_verified", "sim_dup_pairs_exact",
 ]
 
 
@@ -2721,3 +2727,185 @@ def rel_agg_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
     )
+
+
+# =====================================================================
+# Fulltext query surface extensions (round 3): boolean retrieval,
+# fuzzy term suggestion, hit-highlight snippets
+# =====================================================================
+
+# Boolean clause fixtures: tokenizer-normalized terms over the fixture
+# vocabulary; covers all-roles, must-only, should-only(+exclusion) and
+# multi-must shapes.
+_BOOL_QUERIES: list[tuple[str, dict[str, list[str]]]] = [
+    ("B1", {"must": ["scan", "window"], "should": ["slow"], "must_not": []}),
+    ("B2", {"must": ["spark"], "should": ["batch", "merge"], "must_not": ["customer"]}),
+    ("B3", {"must": [], "should": ["join", "hash", "sort"], "must_not": ["filter"]}),
+    ("B4", {"must": ["table", "data", "query"], "should": [], "must_not": []}),
+]
+
+
+def _boolean_oracle_sql(k: int = 10) -> str:
+    rows = []
+    for qid, roles in _BOOL_QUERIES:
+        for role, terms in roles.items():
+            for t in terms:
+                rows.append(
+                    f"({_sql_quote(qid)}, {_sql_quote(t)}, {_sql_quote(role)})"
+                )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH {_TOKS_CTE},
+clauses(query_id, term, role) AS (VALUES
+    {values}
+),
+required AS (
+  SELECT query_id, count(DISTINCT term) AS n_must
+  FROM clauses WHERE role = 'must' GROUP BY query_id
+),
+agg AS (
+  SELECT cl.query_id, p.doc_id,
+         sum(CASE WHEN cl.role <> 'must_not'
+             THEN ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+                * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl))
+             ELSE 0.0 END) AS score,
+         count(DISTINCT CASE WHEN cl.role = 'must' THEN cl.term END) AS must_hits,
+         max(CASE WHEN cl.role = 'must_not' THEN 1 ELSE 0 END) AS excluded
+  FROM clauses cl
+  JOIN postings p USING (term)
+  JOIN termstats s USING (term)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY cl.query_id, p.doc_id
+),
+qualified AS (
+  SELECT a.query_id, a.doc_id, a.score
+  FROM agg a LEFT JOIN required r USING (query_id)
+  WHERE a.excluded = 0
+    AND a.must_hits = coalesce(r.n_must, 0)
+    AND (coalesce(r.n_must, 0) > 0 OR a.score > 0)
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS "rank"
+  FROM qualified
+)
+SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
+@register("ft_boolean_search", _boolean_oracle_sql(10))
+def ft_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style boolean retrieval (must/should/must_not) with BM25
+    ranking — the first-class form of the reference's keyword evidence
+    gates (cli.py:641-1068). One broadcast clause join + one
+    (query, doc) hash-agg computing score, must-coverage and exclusion
+    in a single pass (query/boolean.py)."""
+    from alertsage_spark.query.boolean import boolean_topk, clauses_df
+
+    index = _rel_index_for(spark, sf_dir)
+    return boolean_topk(index, clauses_df(spark, _BOOL_QUERIES), k=10)
+
+
+# Fuzzy suggestion fixtures: distance-0 (exact), 1, 2 and a miss.
+_FUZZY_QUERIES = [
+    ("Z1", "scann"),
+    ("Z2", "windwo"),
+    ("Z3", "grup"),
+    ("Z4", "batch"),
+    ("Z5", "zzzzzzzz"),
+]
+
+
+def _fuzzy_oracle_sql(n: int = 3) -> str:
+    values = ",\n    ".join(
+        f"({_sql_quote(qid)}, {_sql_quote(t)})" for qid, t in _FUZZY_QUERIES
+    )
+    return f"""
+WITH {_TOKS_CTE},
+queries(query_id, qterm) AS (VALUES
+    {values}
+),
+cand AS (
+  SELECT q.query_id, q.qterm, s.term AS suggestion, s.df,
+         CAST(levenshtein(q.qterm, s.term) AS INTEGER) AS dist
+  FROM queries q CROSS JOIN termstats s
+  WHERE levenshtein(q.qterm, s.term) <= 2
+),
+ranked AS (
+  SELECT query_id, qterm, suggestion, dist, df,
+         CAST(row_number() OVER (
+           PARTITION BY query_id, qterm
+           ORDER BY dist ASC, df DESC, suggestion ASC) AS INTEGER) AS "rank"
+  FROM cand
+)
+SELECT query_id, qterm, suggestion, dist, df, "rank"
+FROM ranked WHERE "rank" <= {n}
+"""
+
+
+@register("ft_fuzzy_suggest", _fuzzy_oracle_sql(3))
+def ft_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant term suggestion via SymSpell symmetric-delete
+    blocking (query/fuzzy.py) — the blocked equi-join is provably
+    recall-1.0 for levenshtein<=2, so it must hash-match the DuckDB
+    brute-force oracle."""
+    from alertsage_spark.query.fuzzy import suggest
+
+    index = _rel_index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(_FUZZY_QUERIES, "query_id string, qterm string")
+    return suggest(index.termstats.select("term", "df"), qdf, max_dist=2, n=3)
+
+
+# Snippet fixtures: single normalized tokens.
+_SNIPPET_QUERIES = [("S1", "window"), ("S2", "customer"), ("S3", "merge")]
+
+
+def _snippet_oracle_sql(k: int = 3, width: int = 30) -> str:
+    values = ",\n    ".join(
+        f"({_sql_quote(qid)}, {_sql_quote(t)})" for qid, t in _SNIPPET_QUERIES
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, lower(text) AS lt, {duckdb_tokens_sql("text")} AS t
+              FROM documents),
+streamed AS (SELECT doc_id, lt,
+                    ' ' || array_to_string(t, ' ') || ' ' AS s FROM toks),
+queries(query_id, term) AS (VALUES
+    {values}
+),
+matched AS (
+  SELECT q.query_id, d.doc_id,
+         CAST((length(d.s) - length(replace(d.s, ' ' || q.term || ' ', '')))
+              / length(' ' || q.term || ' ') AS BIGINT) AS n_occ,
+         substr(d.lt,
+                greatest(1, strpos(d.lt, q.term) - {width}),
+                strpos(d.lt, q.term) - greatest(1, strpos(d.lt, q.term) - {width}))
+         || '[' || substr(d.lt, strpos(d.lt, q.term), length(q.term)) || ']'
+         || substr(d.lt, strpos(d.lt, q.term) + length(q.term), {width}) AS snip
+  FROM streamed d JOIN queries q ON contains(d.s, ' ' || q.term || ' ')
+),
+ranked AS (
+  SELECT query_id, doc_id, n_occ, snip,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY n_occ DESC, doc_id ASC) AS INTEGER) AS "rank"
+  FROM matched
+)
+SELECT query_id, doc_id, n_occ, snip, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
+@register("ft_snippet_topdocs", _snippet_oracle_sql(3))
+def ft_snippet_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-highlight snippets for the top docs per query term
+    (query/snippet.py): occurrence counting over the normalized token
+    stream, snippet window cut from lower(text) with identical 1-based
+    offset arithmetic on both engines."""
+    from alertsage_spark.query.snippet import snippet_topdocs
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = spark.createDataFrame(_SNIPPET_QUERIES, "query_id string, term string")
+    return snippet_topdocs(docs, qdf, k=3, width=30)

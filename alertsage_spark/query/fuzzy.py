@@ -1,0 +1,96 @@
+"""Fuzzy term suggestion ("did you mean") via symmetric-delete blocking.
+
+Given the index vocabulary (termstats: term, df) and a set of possibly
+misspelled query terms, return the top-n suggestions per query term
+within Levenshtein distance ``max_dist``, ranked by (distance asc,
+df desc, term asc).
+
+Blocking is the SymSpell symmetric-delete scheme (Garbe, 2012 — public
+algorithm): if levenshtein(a, b) <= d, an edit script of length <= d
+aligns them, and deleting the substituted/deleted chars from ``a`` and
+the substituted/inserted chars from ``b`` (each <= d deletions) yields a
+COMMON string — so the delete-neighborhoods of radius d intersect. The
+candidate join on shared delete-variants therefore has recall 1.0 for
+the final ``levenshtein <= d`` predicate: the blocked engine result is
+provably identical to brute force (which is what the DuckDB oracle
+runs).
+
+Scale shape: the vocabulary's delete-neighborhood (O(len^2) variants per
+term at d=2) is computed JVM-side with higher-order functions, exploded
+once, and in production materialized/bucketed by variant — suggestion
+lookups are then a broadcast equi-join of the query's tiny variant set,
+never a scan of the vocabulary. No per-row Python anywhere.
+
+Replaces grep-style interactive lookups in the reference UI (e.g.
+/root/reference/src/triage/ui_premium.py search boxes) with an
+index-backed typo-tolerant term resolver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _delete_variants(col: Column, max_deletes: int = 2) -> Column:
+    """Array of all strings reachable by deleting up to ``max_deletes``
+    characters (pure Spark SQL; includes the string itself)."""
+    if max_deletes != 2:
+        raise ValueError("only max_deletes=2 is implemented")
+    one = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1), col.substr(i + 1, F.length(col))
+        ),
+    )
+    two = F.flatten(
+        F.transform(
+            one,
+            lambda v: F.transform(
+                F.sequence(F.lit(1), F.length(v)),
+                lambda j: F.concat(
+                    v.substr(F.lit(1), j - 1), v.substr(j + 1, F.length(v))
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.concat(F.array(col), one, two))
+
+
+def suggest(
+    vocab: DataFrame,
+    qterms: DataFrame,
+    max_dist: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Top-n suggestions per query term.
+
+    vocab:  (term, df) — the index vocabulary with document frequencies.
+    qterms: (query_id, qterm) — one row per (possibly misspelled) term.
+    Returns (query_id, qterm, suggestion, dist int, df, rank int).
+    """
+    vvar = vocab.select(
+        "term", "df", F.explode(_delete_variants(F.col("term"))).alias("variant")
+    )
+    qvar = qterms.select(
+        "query_id",
+        "qterm",
+        F.explode(_delete_variants(F.col("qterm"))).alias("variant"),
+    )
+    cand = (
+        vvar.join(F.broadcast(qvar), "variant")
+        .select("query_id", "qterm", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("qterm", "term").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n)
+        .select(
+            "query_id", "qterm", F.col("term").alias("suggestion"), "dist", "df", "rank"
+        )
+    )

@@ -1,0 +1,87 @@
+"""Result snippeting / hit highlighting.
+
+For each (query term, matching document) produce a display snippet: a
+bounded window of the document text around the FIRST occurrence of the
+term, with the hit wrapped in ``[`` ``]``. This is the engine analog of
+the reference UI's result presentation (truncated description +
+highlighted matches in /root/reference/src/triage/ui_premium.py result
+tables) as a deterministic, distributed operator.
+
+Determinism contract (shared with the DuckDB oracle):
+  * matching/ranking is over the NORMALIZED token stream (tokenizer
+    spec), so "scan" never matches inside "scans" when counting;
+  * the snippet position is the first occurrence of the term in
+    lower(text) — guaranteed to exist because every token is a
+    contiguous character run of the lowercased source (the tokenizer
+    only inserts spaces and lowercases);
+  * the snippet is cut from lower(text) on both engines, so byte
+    offsets and content agree exactly.
+
+Scale shape: candidates come from the inverted index (posting lists of
+the query terms — selective prefilter), the snippet expression is pure
+JVM string functions over only the top-ranked candidate rows. No
+per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from alertsage_spark.tokenizer import tokenize_col
+
+
+def snippet_col(lowered: Column, term: Column, width: int = 30) -> Column:
+    """``pre[hit]post`` window around the first occurrence of ``term``
+    in ``lowered`` (1-based position arithmetic, identical in DuckDB)."""
+    pos = F.instr(lowered, term)
+    start = F.greatest(F.lit(1), pos - width)
+    pre = lowered.substr(start, pos - start)
+    hit = lowered.substr(pos, F.length(term))
+    post = lowered.substr(pos + F.length(term), F.lit(width))
+    return F.concat(pre, F.lit("["), hit, F.lit("]"), post)
+
+
+def snippet_topdocs(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int = 3,
+    width: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs per query term by token-occurrence count, each with a
+    highlight snippet.
+
+    docs:   (doc_id, text)
+    qterms: (query_id, term) — term must be tokenizer-normalized.
+    Returns (query_id, doc_id, n_occ bigint, snip string, rank int).
+    """
+    streamed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.col(text_col)).alias("lt"),
+        F.concat(
+            F.lit(" "), F.array_join(tokenize_col(F.col(text_col)), " "), F.lit(" ")
+        ).alias("s"),
+    )
+    needle = F.concat(F.lit(" "), F.col("term"), F.lit(" "))
+    matched = streamed.join(
+        F.broadcast(qterms), F.col("s").contains(needle)
+    ).select(
+        "query_id",
+        "doc_id",
+        (
+            (F.length("s") - F.length(F.replace(F.col("s"), needle))) / F.length(needle)
+        )
+        .cast("bigint")
+        .alias("n_occ"),
+        snippet_col(F.col("lt"), F.col("term"), width).alias("snip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_occ").desc(), F.col("doc_id").asc()
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_occ", "snip", "rank")
+    )

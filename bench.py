@@ -215,6 +215,21 @@ def main() -> None:
     queries["sim_cosine_topk"] = median(timed(
         lambda: catalog.queries()["sim_cosine_topk"](spark, SF_DIR).collect()
     ))
+
+    # training-pipeline suite (r3 ops), one pass each per rep.
+    # dedup_components is excluded: its per-iteration label-propagation
+    # jobs are scheduling-dominated at fixture scale (~8 s for 22
+    # pairs), which would measure the Spark scheduler, not the operator.
+    pipe = [
+        "pipe_decontaminate", "pipe_repetition_filter",
+        "pipe_split_train_val", "pipe_pack_sequences",
+    ]
+
+    def one_pipe():
+        for name in pipe:
+            catalog.queries()[name](spark, SF_DIR).collect()
+
+    queries["pipeline_suite"] = median(timed(one_pipe))
     spark.catalog.clearCache()
 
     # ---- 7. SYNTHETIC sections from here on (zipf, then code last):

@@ -25,6 +25,10 @@ NEVER_DRIVER_CHECKED = {
     "rel_sessionize", "stream_time_window", "stream_sessionize",
     "io_jsonl_roundtrip", "io_csv_roundtrip", "sim_dup_pairs_prod",
     "ft_bm25_code_topk", "ft_stream_ingest_bm25",
+    # round-3 oracled additions — no driver row before r03
+    "ft_phrase_search", "dedup_components", "dedup_survivors",
+    "pipe_decontaminate", "pipe_split_train_val", "pipe_repetition_filter",
+    "ft_boolean_search", "ft_fuzzy_suggest", "ft_snippet_topdocs",
 }
 
 # Flagship entries that must never leave the window (baseline targets).

@@ -120,3 +120,19 @@ def test_prod_dup_pairs_is_bucketed_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """pipe_decontaminate must broadcast the benchmark gram set and
+    never cross-join the shingle explosion."""
+    plan = _plan(catalog.queries()["pipe_decontaminate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_split_train_val_is_pure_jvm(spark):
+    """The hash split is one projection — no Python, no shuffle."""
+    plan = _plan(catalog.queries()["pipe_split_train_val"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

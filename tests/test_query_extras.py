@@ -1,0 +1,129 @@
+"""Unit tests for the round-3 query-surface extensions: boolean
+retrieval (query/boolean.py), symmetric-delete fuzzy suggestion
+(query/fuzzy.py), and hit-highlight snippets (query/snippet.py).
+
+The catalog oracle replica (test_catalog_oracle.py) hash-checks all
+three against DuckDB at fixture scale; these tests pin the edge
+semantics on tiny constructed corpora where each rule is isolated.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alertsage_spark.index.build import build_index
+from alertsage_spark.query.boolean import boolean_topk, clauses_df
+from alertsage_spark.query.fuzzy import _delete_variants, suggest
+from alertsage_spark.query.snippet import snippet_topdocs
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "alpha gamma gamma"),
+            (4, "beta delta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    return build_index(docs)
+
+
+def _hits(df, qid):
+    return [r.doc_id for r in df.filter(F.col("query_id") == qid).orderBy("rank").collect()]
+
+
+def test_boolean_must_not_excludes(spark, tiny_index):
+    qs = [("Q", {"must": ["alpha"], "should": [], "must_not": ["delta"]})]
+    out = boolean_topk(tiny_index, clauses_df(spark, qs))
+    # docs 1,3 contain alpha without delta; doc 2 has alpha AND delta
+    assert set(_hits(out, "Q")) == {1, 3}
+
+
+def test_boolean_must_requires_all(spark, tiny_index):
+    qs = [("Q", {"must": ["alpha", "beta"], "should": [], "must_not": []})]
+    out = boolean_topk(tiny_index, clauses_df(spark, qs))
+    assert set(_hits(out, "Q")) == {1, 2}
+
+
+def test_boolean_should_only_is_or(spark, tiny_index):
+    qs = [("Q", {"must": [], "should": ["gamma", "delta"], "must_not": []})]
+    out = boolean_topk(tiny_index, clauses_df(spark, qs))
+    assert set(_hits(out, "Q")) == {1, 2, 3, 4}
+
+
+def test_boolean_must_not_only_doc_never_appears(spark, tiny_index):
+    # doc 4 matches ONLY the must_not clause -> excluded, not scored
+    qs = [("Q", {"must": [], "should": ["gamma"], "must_not": ["delta"]})]
+    out = boolean_topk(tiny_index, clauses_df(spark, qs))
+    assert set(_hits(out, "Q")) == {1, 3}
+
+
+def test_boolean_duplicate_term_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate term"):
+        clauses_df(spark, [("Q", {"must": ["x"], "must_not": ["x"]})])
+
+
+def test_delete_variants_complete(spark):
+    out = spark.range(1).select(
+        _delete_variants(F.lit("abcd")).alias("v")
+    ).collect()[0].v
+    assert "abcd" in out            # 0 deletes
+    assert {"bcd", "acd", "abd", "abc"} <= set(out)   # 1 delete
+    assert {"cd", "bd", "bc", "ad", "ac", "ab"} <= set(out)  # 2 deletes
+
+
+def test_fuzzy_matches_brute_force_incl_trigram_blind_pair(spark):
+    # 'abcd' vs 'abed': levenshtein 1 but ZERO shared trigrams — the
+    # case a trigram-blocked suggester would miss; symmetric-delete
+    # blocking must find it.
+    vocab = spark.createDataFrame(
+        [("abcd", 10), ("abed", 7), ("wxyz", 99), ("abcdef", 3)],
+        "term string, df long",
+    )
+    qdf = spark.createDataFrame([("Q1", "abed"), ("Q2", "abcd")],
+                                "query_id string, qterm string")
+    out = {
+        (r.query_id, r.rank): (r.suggestion, r.dist)
+        for r in suggest(vocab, qdf, max_dist=2, n=4).collect()
+    }
+    # brute force for Q1='abed': dist0 abed, dist1 abcd, dist2 abcdef? lev('abed','abcdef')=3 -> no
+    assert out[("Q1", 1)] == ("abed", 0)
+    assert out[("Q1", 2)] == ("abcd", 1)
+    assert ("Q1", 3) not in out
+    # Q2='abcd': dist0 abcd, dist1 abed, dist2 abcdef
+    assert out[("Q2", 1)] == ("abcd", 0)
+    assert out[("Q2", 2)] == ("abed", 1)
+    assert out[("Q2", 3)] == ("abcdef", 2)
+
+
+def test_fuzzy_rank_prefers_distance_then_df(spark):
+    vocab = spark.createDataFrame(
+        [("aaab", 1), ("aaac", 50), ("aaaa", 5)], "term string, df long"
+    )
+    qdf = spark.createDataFrame([("Q", "aaaa")], "query_id string, qterm string")
+    out = [r.suggestion for r in suggest(vocab, qdf).orderBy("rank").collect()]
+    # dist 0 first, then dist-1 ties broken by df desc
+    assert out == ["aaaa", "aaac", "aaab"]
+
+
+def test_snippet_term_at_start_and_occurrence_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "needle at the very start and a needle later"),
+         (2, "no match here"),
+         (3, "one needle only")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame([("S", "needle")], "query_id string, term string")
+    rows = {r.doc_id: r for r in snippet_topdocs(docs, qdf, k=3, width=10).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].n_occ == 2 and rows[1].rank == 1
+    assert rows[3].n_occ == 1 and rows[3].rank == 2
+    # doc 1: first occurrence at position 1 -> no pre-context
+    assert rows[1].snip.startswith("[needle]")
+    assert rows[1].snip == "[needle] at the ve"
+    # doc 3: pre-context clipped to the string start
+    assert rows[3].snip == "one [needle] only"
