@@ -136,3 +136,21 @@ def test_split_train_val_is_pure_jvm(spark):
     plan = _plan(catalog.queries()["pipe_split_train_val"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_boolean_search_broadcasts_clauses(spark):
+    """Boolean retrieval must broadcast the tiny clause table into the
+    postings scan — never shuffle or nested-loop the big side."""
+    plan = _plan(catalog.queries()["ft_boolean_search"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_suggest_is_variant_equi_join(spark):
+    """Symmetric-delete suggestion joins on exploded delete-variants —
+    an equi-join; the brute-force cross join belongs to the oracle only."""
+    plan = _plan(catalog.queries()["ft_fuzzy_suggest"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
