@@ -75,14 +75,15 @@ _DRIVER_WINDOW: list[str] = [
     "ft_phrase_search", "dedup_components", "dedup_survivors",
     "pipe_decontaminate", "pipe_split_train_val", "pipe_repetition_filter",
     "ft_boolean_search", "ft_fuzzy_suggest", "ft_snippet_topdocs",
+    "ft_substring_search", "ft_prefix_search",
     # -- keep-set: flagship entries that must stay driver-verified.
     # ft_fingerprint/ft_corpus_stats/ft_term_df_top20/dedup_exact_stats/
-    # sim_cosine_topk/mm_frame_sample_plan rotated behind the window
-    # (driver-green in r02, still local-oracle-checked) to make room for
-    # this round's oracled additions. --
+    # sim_cosine_topk/mm_frame_sample_plan/dedup_jaccard_verified/
+    # sim_dup_pairs_exact rotated behind the window (all driver-green
+    # in r02, still local-oracle-checked) to make room for this round's
+    # oracled additions. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
-    "dedup_jaccard_verified", "sim_dup_pairs_exact",
 ]
 
 
@@ -2909,3 +2910,76 @@ def ft_snippet_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     qdf = spark.createDataFrame(_SNIPPET_QUERIES, "query_id string, term string")
     return snippet_topdocs(docs, qdf, k=3, width=30)
+
+
+_REL_CODE_INDEX_CACHE: dict[str, object] = {}
+
+
+def _rel_code_index_for(spark: SparkSession, sf_dir: str):
+    """Code-mode relational index over documents (identifier + '#'
+    trigram terms), built once per process per sf_dir — the substring/
+    prefix search accelerator."""
+    if sf_dir not in _REL_CODE_INDEX_CACHE:
+        _REL_CODE_INDEX_CACHE[sf_dir] = build_index(
+            tbl(spark, sf_dir, "documents"), mode="code"
+        ).cache()
+    return _REL_CODE_INDEX_CACHE[sf_dir]
+
+
+# Substring patterns: mid-token (trigram path), a 3-char token (exact-
+# posting union branch), and a guaranteed miss.
+_SUBSTR_QUERIES = [("U1", "usto"), ("U2", "dow"), ("U3", "erg"),
+                   ("U4", "qqq"), ("U5", "row")]
+# Prefix patterns: true prefixes, plus a suffix-only pattern whose
+# trigram candidates must all be killed by the startswith verify.
+_PREFIX_QUERIES = [("V1", "cust"), ("V2", "win"), ("V3", "erge"), ("V4", "val")]
+
+
+def _pattern_oracle_sql(queries: list[tuple[str, str]], fn: str) -> str:
+    values = ",\n    ".join(
+        f"({_sql_quote(qid)}, {_sql_quote(p)})" for qid, p in queries
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {duckdb_tokens_sql("text")} AS t FROM documents),
+pats(query_id, pattern) AS (VALUES
+    {values}
+),
+m AS (
+  SELECT p.query_id, d.doc_id,
+         CAST(len(list_filter(d.t, x -> {fn}(x, p.pattern))) AS BIGINT)
+           AS n_tokens
+  FROM toks d CROSS JOIN pats p
+)
+SELECT query_id, doc_id, n_tokens FROM m WHERE n_tokens > 0
+ORDER BY query_id, doc_id
+"""
+
+
+@register("ft_substring_search", _pattern_oracle_sql(_SUBSTR_QUERIES, "contains"))
+def ft_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoekt-style substring search: the code index's '#' trigram
+    postings AND-intersected per pattern + exact-token union give a
+    provably complete candidate set; only candidates are re-tokenized
+    for the verify count (query/substring.py). Oracle = brute-force
+    scan, so the hash match certifies candidate completeness."""
+    from alertsage_spark.query.substring import pattern_search
+
+    idx = _rel_code_index_for(spark, sf_dir)
+    pats = spark.createDataFrame(_SUBSTR_QUERIES, "query_id string, pattern string")
+    return pattern_search(
+        idx, tbl(spark, sf_dir, "documents"), pats, match="contains"
+    ).orderBy("query_id", "doc_id")
+
+
+@register("ft_prefix_search", _pattern_oracle_sql(_PREFIX_QUERIES, "starts_with"))
+def ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (wildcard 'pat%') search over the same trigram candidate
+    machinery with a startswith verify — V3 ('erge') proves the verify
+    step kills substring-but-not-prefix trigram candidates."""
+    from alertsage_spark.query.substring import pattern_search
+
+    idx = _rel_code_index_for(spark, sf_dir)
+    pats = spark.createDataFrame(_PREFIX_QUERIES, "query_id string, pattern string")
+    return pattern_search(
+        idx, tbl(spark, sf_dir, "documents"), pats, match="prefix"
+    ).orderBy("query_id", "doc_id")

@@ -1,0 +1,125 @@
+"""Trigram-accelerated substring and prefix search (Zoekt/Google-
+Code-Search style) over the code-mode inverted index.
+
+The north rule's code tokenizer emits, besides each identifier token,
+'#'-prefixed character trigrams of every token of length >= 4
+(tokenizer.py). Those trigram postings are exactly a substring index:
+a token containing pattern P (|P| >= 3) contiguously contains every
+3-gram of P, so
+
+    candidates(P) =   docs holding ALL trigrams of P          (AND-join)
+                    ∪ docs holding the exact token P          (covers the
+                      len-3 tokens, which emit no trigrams)
+
+is a PROVABLY COMPLETE candidate set for "some token of the doc
+contains P": a matching token of length >= 4 contributes all of P's
+trigrams; a matching token of length 3 IS P. The verify step then
+re-tokenizes only the candidates and counts matching tokens, removing
+trigram coincidences (a doc can hold P's trigrams spread across
+different tokens). Patterns contain no spaces, so token-stream
+verification cannot cross token boundaries.
+
+Prefix search ("sca%") is the same machinery with a startswith verify —
+a prefix is in particular a substring, so the same candidate set is
+complete for it.
+
+Scale shape: pattern trigrams are tiny and BROADCAST against the
+trigram postings (a selective slice of one FileScan — '#' terms are
+their own key range in the sorted dictionary); the AND-intersection is
+one (query, doc) hash-agg; verification re-tokenizes only the
+candidate docs reached by an equi-join on doc_id. Brute-force scan of
+the corpus exists only in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alertsage_spark.index.build import InvertedIndex
+from alertsage_spark.tokenizer import TRIGRAM_PREFIX, tokenize_col
+
+MIN_PATTERN_LEN = 3
+
+
+def _pattern_trigrams(col):
+    # |P| >= 3 guaranteed -> sequence stop >= start (Spark sequence
+    # DESCENDS for stop < start rather than returning empty).
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - 2),
+            lambda i: F.concat(F.lit(TRIGRAM_PREFIX), col.substr(i, F.lit(3))),
+        )
+    )
+
+
+def pattern_search(
+    index: InvertedIndex,
+    docs: DataFrame,
+    patterns: DataFrame,
+    match: str = "contains",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs with >= 1 token matching each pattern.
+
+    index:    code-mode index (mode='code'; its '#' trigram postings are
+              the accelerator).
+    patterns: (query_id, pattern) — tokenizer-normalized, no spaces,
+              len >= MIN_PATTERN_LEN.
+    match:    'contains' (substring anywhere in a token) or 'prefix'.
+    Returns (query_id, doc_id, n_tokens bigint) — n_tokens counts
+    matching token OCCURRENCES (duplicates included), > 0 by
+    construction.
+    """
+    if match not in ("contains", "prefix"):
+        raise ValueError(f"unknown match mode: {match}")
+    if index.mode != "code":
+        raise ValueError("pattern_search needs a code-mode index (trigram terms)")
+    bad = patterns.filter(
+        (F.length("pattern") < MIN_PATTERN_LEN) | F.col("pattern").contains(" ")
+    ).take(1)
+    if bad:
+        raise ValueError(f"pattern too short or contains spaces: {bad[0].pattern!r}")
+
+    ptri = patterns.select(
+        "query_id",
+        "pattern",
+        F.explode(_pattern_trigrams(F.col("pattern"))).alias("term"),
+    )
+    n_tri = ptri.groupBy("query_id", "pattern").agg(
+        F.count_distinct("term").alias("n_tri")
+    )
+    cand_tri = (
+        F.broadcast(ptri)
+        .join(index.postings, "term")
+        .groupBy("query_id", "pattern", "doc_id")
+        .agg(F.count_distinct("term").alias("hit_tri"))
+        .join(F.broadcast(n_tri), ["query_id", "pattern"])
+        .filter(F.col("hit_tri") == F.col("n_tri"))
+        .select("query_id", "pattern", "doc_id")
+    )
+    cand_exact = (
+        F.broadcast(patterns.withColumn("term", F.col("pattern")))
+        .join(index.postings, "term")
+        .select("query_id", "pattern", "doc_id")
+    )
+    cands = cand_tri.unionByName(cand_exact).distinct()
+
+    pred = F.contains if match == "contains" else F.startswith
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col)).alias("toks"),  # plain tokens: the
+        # verify semantics are over identifiers, not trigram terms
+    )
+    return (
+        cands.join(toks, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.filter("toks", lambda t: pred(t, F.col("pattern"))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -29,6 +29,7 @@ NEVER_DRIVER_CHECKED = {
     "ft_phrase_search", "dedup_components", "dedup_survivors",
     "pipe_decontaminate", "pipe_split_train_val", "pipe_repetition_filter",
     "ft_boolean_search", "ft_fuzzy_suggest", "ft_snippet_topdocs",
+    "ft_substring_search", "ft_prefix_search",
 }
 
 # Flagship entries that must never leave the window (baseline targets).

@@ -154,3 +154,13 @@ def test_fuzzy_suggest_is_variant_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_search_broadcasts_patterns(spark):
+    """Trigram substring search must broadcast the pattern trigrams into
+    the postings scan; the corpus-wide brute-force scan belongs to the
+    DuckDB oracle only."""
+    plan = _plan(catalog.queries()["ft_substring_search"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -127,3 +127,69 @@ def test_snippet_term_at_start_and_occurrence_count(spark):
     assert rows[1].snip == "[needle] at the ve"
     # doc 3: pre-context clipped to the string start
     assert rows[3].snip == "one [needle] only"
+
+
+# ---- trigram substring/prefix search (query/substring.py) ----
+
+@pytest.fixture(scope="module")
+def code_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "parseConfig retryBudget"),       # tokens: parse config retry budget
+            (2, "a reconfigure pass"),            # 'config' inside a longer token
+            (3, "con fig split apart"),           # trigram coincidence ACROSS tokens
+            (4, "fig leaf"),                      # 3-char token == pattern 'fig'
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def code_index(code_docs):
+    from alertsage_spark.index.build import build_index
+
+    return build_index(code_docs, mode="code")
+
+
+def _search(spark, code_index, code_docs, pattern, match):
+    from alertsage_spark.query.substring import pattern_search
+
+    pats = spark.createDataFrame([("Q", pattern)], "query_id string, pattern string")
+    out = pattern_search(code_index, code_docs, pats, match=match)
+    return {r.doc_id: r.n_tokens for r in out.collect()}
+
+
+def test_substring_within_token_and_cross_token_false_positive(spark, code_index, code_docs):
+    # doc 3 holds '#con'-ish and '#fig'-ish material in DIFFERENT tokens:
+    # trigram AND-intersection may propose it, verify must kill it.
+    hits = _search(spark, code_index, code_docs, "config", "contains")
+    assert hits == {1: 1, 2: 1}
+
+
+def test_substring_three_char_token_needs_exact_branch(spark, code_index, code_docs):
+    # 'fig' as a standalone 3-char token emits NO trigrams — only the
+    # exact-posting union branch can reach doc 4.
+    hits = _search(spark, code_index, code_docs, "fig", "contains")
+    # config, reconfigure, fig(3-char token), fig(3-char token)
+    assert hits == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_prefix_verify_kills_suffix_matches(spark, code_index, code_docs):
+    hits = _search(spark, code_index, code_docs, "config", "prefix")
+    assert hits == {1: 1}  # 'reconfigure' contains but does not start with
+
+
+def test_pattern_too_short_rejected(spark, code_index, code_docs):
+    with pytest.raises(ValueError, match="too short"):
+        _search(spark, code_index, code_docs, "ab", "contains")
+
+
+def test_pattern_search_requires_code_index(spark, code_docs):
+    from alertsage_spark.index.build import build_index
+    from alertsage_spark.query.substring import pattern_search
+
+    text_idx = build_index(code_docs)  # mode='text': no trigram postings
+    pats = spark.createDataFrame([("Q", "config")], "query_id string, pattern string")
+    with pytest.raises(ValueError, match="code-mode"):
+        pattern_search(text_idx, code_docs, pats)
