@@ -33,9 +33,15 @@ def __getattr__(name):  # PEP 562
         "merge_segments": "alertsage_spark.index.merge",
         "maybe_compact": "alertsage_spark.index.merge",
         "build_index": "alertsage_spark.index.build",
+        "build_fielded_index": "alertsage_spark.index.build",
         # query
         "wand_topk": "alertsage_spark.query.wand",
         "bm25_topk": "alertsage_spark.query.bm25",
+        "boolean_topk": "alertsage_spark.query.boolean",
+        "clauses_df": "alertsage_spark.query.boolean",
+        "suggest": "alertsage_spark.query.fuzzy",
+        "snippet_topdocs": "alertsage_spark.query.snippet",
+        "pattern_search": "alertsage_spark.query.substring",
         # ingest
         "prepare_code_corpus": "alertsage_spark.sources.code_corpus",
         # pipeline operators

@@ -2983,3 +2983,107 @@ def ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_search(
         idx, tbl(spark, sf_dir, "documents"), pats, match="prefix"
     ).orderBy("query_id", "doc_id")
+
+
+def _facets_oracle_sql(k: int = 10) -> str:
+    # facet aggregation over the SAME ranked top-k CTE as the BM25 oracle
+    base = _bm25_oracle_sql(k).rsplit("SELECT query_id, doc_id, score,", 1)[0]
+    return f"""{base}
+SELECT r.query_id, d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(r.score), 6) AS avg_score
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r."rank" <= {k}
+GROUP BY r.query_id, d.lang, d.source
+ORDER BY r.query_id, d.lang, d.source
+"""
+
+
+@register("ft_search_facets", _facets_oracle_sql(10))
+def ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-query facet counts (lang x source) with mean
+    BM25 score over the top-10 result set — the search-engine result-
+    page aggregation, one broadcast join + hash-agg past the ranking."""
+    index = _rel_index_for(spark, sf_dir)
+    topk = bm25_topk(index, queries_df(spark), k=10)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        topk.join(docs, "doc_id")
+        .groupBy("query_id", "lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("query_id", "lang", "source")
+    )
+
+
+def _bm25f_oracle_sql(k: int = 10) -> str:
+    values = ",\n    ".join(
+        f"({_sql_quote(cid)}, {_sql_quote(text)})" for cid, _l, text in REFERENCE_QUERIES
+    )
+    qtoks = duckdb_tokens_sql("query_text")
+    return f"""
+WITH toks0 AS (SELECT doc_id, {duckdb_tokens_sql("text")} AS t FROM documents),
+fields AS (SELECT doc_id, t[1:8] AS title_t, t[9:] AS body_t FROM toks0),
+fpost AS (
+  SELECT term, doc_id, sum(w) AS tf FROM (
+    SELECT doc_id, unnest(title_t) AS term, CAST(2.0 AS DOUBLE) AS w FROM fields
+    UNION ALL
+    SELECT doc_id, unnest(body_t) AS term, CAST(1.0 AS DOUBLE) AS w FROM fields
+  ) GROUP BY term, doc_id
+),
+fdl AS (SELECT doc_id,
+               CAST(2.0 AS DOUBLE) * len(title_t)
+             + CAST(1.0 AS DOUBLE) * len(body_t) AS dl FROM fields),
+fstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM fpost GROUP BY term),
+fcorpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM fdl),
+queries(query_id, query_text) AS (VALUES
+    {values}
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM queries
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1.0 + (c.n - s.df + 0.5) / (s.df + 0.5))
+            * (p.tf * (1.2 + 1.0))
+            / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) ) AS score
+  FROM qterms q
+  JOIN fpost p USING (term)
+  JOIN fstats s USING (term)
+  JOIN fdl d USING (doc_id)
+  CROSS JOIN fcorpus c
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS "rank"
+  FROM scored
+)
+SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
+@register("ft_bm25f_topk", _bm25f_oracle_sql(10))
+def ft_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25F (simplified Robertson/Zaragoza: weighted tf
+    into the standard saturation) over synthesized fields — title =
+    first 8 tokens at weight 2.0, body = rest at 1.0 — via
+    build_fielded_index (index/build.py). Same scorers, fielded stats."""
+    from alertsage_spark.index.build import build_fielded_index
+
+    toks = tokenize_col(F.col("text"))
+    docs2 = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(toks, F.lit(1), F.lit(8)), " ").alias("title"),
+        F.array_join(
+            F.slice(toks, F.lit(9), F.greatest(F.size(toks) - 8, F.lit(0))), " "
+        ).alias("body"),
+    )
+    index = build_fielded_index(docs2, [("title", 2.0), ("body", 1.0)])
+    return bm25_topk(index, queries_df(spark), k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )

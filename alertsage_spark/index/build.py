@@ -114,3 +114,60 @@ def build_index(
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver fixture corpus: documents(doc_id, text, lang, source, n_chars)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def build_fielded_index(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    mode: str = "text",
+) -> InvertedIndex:
+    """BM25F-style fielded index: several text columns, each with a
+    weight (e.g. [("title", 2.0), ("body", 1.0)]).
+
+    Uses the simplified BM25F of Robertson/Zaragoza (weighted term
+    frequencies into the standard saturation): per (term, doc)
+    tf = sum_f w_f * tf_f, per doc dl = sum_f w_f * len_f, df counts a
+    doc once however many fields hold the term. The result plugs into
+    the SAME scorers as build_index — postings.tf and doclen.dl are
+    doubles here, which bm25_scores consumes unchanged.
+
+    Scale shape: one union of per-field token explosions feeding the
+    same single groupBy(term, doc_id) shuffle as the plain build —
+    field count multiplies map-side rows only, never adds a shuffle.
+    """
+    tok_parts = [
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize_col(F.col(col), mode=mode)).alias("term"),
+            F.lit(float(w)).alias("w"),
+        )
+        for col, w in fields
+    ]
+    u = tok_parts[0]
+    for p in tok_parts[1:]:
+        u = u.unionByName(p)
+    postings = u.groupBy("term", "doc_id").agg(F.sum("w").alias("tf"))
+    dl_parts = [
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.size(tokenize_col(F.col(col), mode=mode)) * F.lit(float(w))).alias("dl"),
+        )
+        for col, w in fields
+    ]
+    ud = dl_parts[0]
+    for p in dl_parts[1:]:
+        ud = ud.unionByName(p)
+    doclen = ud.groupBy("doc_id").agg(F.sum("dl").alias("dl"))
+    termstats = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    row = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    return InvertedIndex(
+        doclen=doclen,
+        postings=postings,
+        termstats=termstats,
+        n_docs=int(row["n"]),
+        avgdl=float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        mode=mode,
+    )

@@ -193,3 +193,29 @@ def test_pattern_search_requires_code_index(spark, code_docs):
     pats = spark.createDataFrame([("Q", "config")], "query_id string, pattern string")
     with pytest.raises(ValueError, match="code-mode"):
         pattern_search(text_idx, code_docs, pats)
+
+
+# ---- BM25F fielded index (index/build.py::build_fielded_index) ----
+
+def test_fielded_index_title_weight_beats_body(spark):
+    from alertsage_spark.index.build import build_fielded_index
+    from alertsage_spark.query.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "target intro", "filler filler filler"),
+            (2, "plain intro", "target filler filler"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    idx = build_fielded_index(docs, [("title", 2.0), ("body", 1.0)])
+    # weighted tf: doc1 has target in title (tf=2.0), doc2 in body (1.0)
+    q = spark.createDataFrame([("Q", "target")], "query_id string, query_text string")
+    out = {r.doc_id: r.rank for r in bm25_topk(idx, q, k=2).collect()}
+    assert out[1] == 1 and out[2] == 2
+    # df counts each doc once; both docs hold the term
+    stats = {r.term: r.df for r in idx.termstats.collect()}
+    assert stats["target"] == 2
+    # dl is weighted: doc1 = 2*2 + 1*3 = 7
+    dls = {r.doc_id: r.dl for r in idx.doclen.collect()}
+    assert dls[1] == 7.0 and dls[2] == 7.0
