@@ -42,6 +42,8 @@ def __getattr__(name):  # PEP 562
         "suggest": "alertsage_spark.query.fuzzy",
         "snippet_topdocs": "alertsage_spark.query.snippet",
         "pattern_search": "alertsage_spark.query.substring",
+        "parse_query": "alertsage_spark.query.parse",
+        "search": "alertsage_spark.query.parse",
         # ingest
         "prepare_code_corpus": "alertsage_spark.sources.code_corpus",
         # pipeline operators

@@ -2746,15 +2746,50 @@ _BOOL_QUERIES: list[tuple[str, dict[str, list[str]]]] = [
 ]
 
 
-def _boolean_oracle_sql(k: int = 10) -> str:
-    rows = []
-    for qid, roles in _BOOL_QUERIES:
-        for role, terms in roles.items():
-            for t in terms:
-                rows.append(
-                    f"({_sql_quote(qid)}, {_sql_quote(t)}, {_sql_quote(role)})"
-                )
-    values = ",\n    ".join(rows)
+def _boolean_oracle_sql(
+    k: int = 10,
+    clause_rows: list[tuple[str, str, str]] | None = None,
+    phrase_rows: list[tuple[str, str]] | None = None,
+) -> str:
+    """Boolean-retrieval oracle; optionally gates qualifying docs on
+    phrase containment (the query-language entry reuses this body)."""
+    if clause_rows is None:
+        clause_rows = [
+            (qid, t, role)
+            for qid, roles in _BOOL_QUERIES
+            for role, terms in roles.items()
+            for t in terms
+        ]
+    values = ",\n    ".join(
+        f"({_sql_quote(q)}, {_sql_quote(t)}, {_sql_quote(r)})"
+        for q, t, r in clause_rows
+    )
+    if phrase_rows:
+        pvalues = ",\n    ".join(
+            f"({_sql_quote(q)}, {_sql_quote(n)})" for q, n in phrase_rows
+        )
+        phrase_ctes = f""",
+streamed AS (SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ' AS s FROM toks),
+phrases(query_id, needle) AS (VALUES
+    {pvalues}
+),
+nph AS (SELECT query_id, count(*) AS n_ph FROM phrases GROUP BY query_id),
+phok AS (
+  SELECT p.query_id, d.doc_id
+  FROM streamed d JOIN phrases p ON contains(d.s, p.needle)
+  GROUP BY p.query_id, d.doc_id
+  HAVING count(*) = (SELECT n_ph FROM nph WHERE query_id = p.query_id)
+),
+gated AS (
+  SELECT q.* FROM qualified q
+  WHERE q.query_id NOT IN (SELECT query_id FROM nph)
+     OR EXISTS (SELECT 1 FROM phok o
+                WHERE o.query_id = q.query_id AND o.doc_id = q.doc_id)
+)"""
+        ranked_src = "gated"
+    else:
+        phrase_ctes = ""
+        ranked_src = "qualified"
     return f"""
 WITH {_TOKS_CTE},
 clauses(query_id, term, role) AS (VALUES
@@ -2786,13 +2821,13 @@ qualified AS (
   WHERE a.excluded = 0
     AND a.must_hits = coalesce(r.n_must, 0)
     AND (coalesce(r.n_must, 0) > 0 OR a.score > 0)
-),
+){phrase_ctes},
 ranked AS (
   SELECT query_id, doc_id, round(score, 6) AS score,
          CAST(row_number() OVER (
            PARTITION BY query_id
            ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS "rank"
-  FROM qualified
+  FROM {ranked_src}
 )
 SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
 """
@@ -3084,6 +3119,116 @@ def ft_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("body"),
     )
     index = build_fielded_index(docs2, [("title", 2.0), ("body", 1.0)])
+    return bm25_topk(index, queries_df(spark), k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+_AUTOCOMPLETE_QUERIES = [("A1", "sc"), ("A2", "wi"), ("A3", "qu"), ("A4", "zz")]
+
+
+def _autocomplete_oracle_sql(n: int = 5) -> str:
+    values = ",\n    ".join(
+        f"({_sql_quote(qid)}, {_sql_quote(p)})" for qid, p in _AUTOCOMPLETE_QUERIES
+    )
+    return f"""
+WITH {_TOKS_CTE},
+pref(query_id, prefix) AS (VALUES
+    {values}
+),
+cand AS (
+  SELECT p.query_id, s.term, s.df
+  FROM pref p JOIN termstats s ON starts_with(s.term, p.prefix)
+),
+ranked AS (
+  SELECT query_id, term, df,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY df DESC, term ASC) AS INTEGER) AS "rank"
+  FROM cand
+)
+SELECT query_id, term, df, "rank" FROM ranked WHERE "rank" <= {n}
+"""
+
+
+@register("ft_term_autocomplete", _autocomplete_oracle_sql(5))
+def ft_term_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box autocomplete: top-5 vocabulary completions per prefix,
+    ranked by document frequency. At scale the term dictionary is
+    SORTED (segments store terms ordered), so a prefix lookup is a
+    dictionary RANGE SCAN, not a full scan — here expressed as
+    startswith over termstats, which Catalyst rewrites to a
+    StartsWith predicate pushable into the parquet dictionary."""
+    index = _rel_index_for(spark, sf_dir)
+    pref = spark.createDataFrame(_AUTOCOMPLETE_QUERIES, "query_id string, prefix string")
+    cand = F.broadcast(pref).join(
+        index.termstats, F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "term", "df", "rank")
+    )
+
+
+# Query-language fixtures: roles, camelCase expansion, phrase + should,
+# quoted single token under '-'.
+_QLANG_QUERIES = [
+    ("L1", "+scan window -customer"),
+    ("L2", "sparkBatch merge"),
+    ("L3", '"scan slow" window'),
+    ("L4", '+data -"filter" join'),
+]
+
+
+def _qlang_oracle_sql(k: int = 10) -> str:
+    from alertsage_spark.query.parse import parse_query
+
+    clause_rows: list[tuple[str, str, str]] = []
+    phrase_rows: list[tuple[str, str]] = []
+    for qid, q in _QLANG_QUERIES:
+        p = parse_query(q)
+        for role in ("must", "should", "must_not"):
+            clause_rows.extend((qid, t, role) for t in p[role])
+        phrase_rows.extend(
+            (qid, " " + " ".join(toks) + " ") for toks in p["phrases"]
+        )
+    return _boolean_oracle_sql(k, clause_rows=clause_rows, phrase_rows=phrase_rows)
+
+
+@register("ft_query_language", _qlang_oracle_sql(10))
+def ft_query_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing query language: '+must -not should "a phrase"'
+    parsed (query/parse.py) into boolean clauses + phrase constraints,
+    executed as boolean_qualified -> phrase semi-join -> rank. The
+    oracle derives its clause/phrase tables from the SAME parser, so
+    the hash match certifies the boolean+phrase execution; the parser's
+    own rules are pinned by tests/test_query_extras.py."""
+    from alertsage_spark.query.parse import search
+
+    index = _rel_index_for(spark, sf_dir)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return search(spark, index, docs, _QLANG_QUERIES, k=10)
+
+
+@register("ft_bm25_lsm_relview", _bm25_oracle_sql(10))
+def ft_bm25_lsm_relview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact join+agg BM25 scorer running on the COMPRESSED LSM
+    segments through SegmentIndex.as_inverted_index() — decoded
+    (term, doc_id, tf) postings sliced to the query vocabulary
+    (segments.py postings_df: IN-filter pushed to the parquet scan,
+    only consulted posting lists decoded, max-tf/max-dl merge-rule
+    dedup, tombstone anti-join). Shares the flagship BM25 oracle: a
+    hash-green row certifies decode + slicing + stats fidelity of the
+    relational view of the production index."""
+    from alertsage_spark.tokenizer import tokenize_py
+
+    seg = _segment_index_for(spark, sf_dir)
+    qterms = sorted(
+        {t for _cid, _l, text in REFERENCE_QUERIES for t in tokenize_py(text)}
+    )
+    index = seg.as_inverted_index(terms=qterms)
     return bm25_topk(index, queries_df(spark), k=10).withColumn(
         "rank", F.col("rank").cast("int")
     )

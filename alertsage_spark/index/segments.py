@@ -759,6 +759,146 @@ class SegmentIndex:
                 self.dl_map[sid] = (d[order], l[order])
         return self
 
+    def postings_df(self, terms: list[str] | None = None) -> DataFrame:
+        """Decoded (term, doc_id, tf) postings — the RELATIONAL view of
+        the compressed LSM index, so every relational query surface
+        (boolean retrieval, substring candidates, fuzzy df ranking, the
+        exact join+agg scorer) runs against the production segments with
+        no second index build.
+
+        ``terms`` slices the decode to a term set (an IN filter pushed
+        into the parquet scan — at scale this is the whole point: only
+        the queried posting lists are ever decoded). Tombstoned docs are
+        anti-joined out; duplicate (term, doc) rows from multi-group
+        appends collapse by max-tf — byte-for-byte the merge rule
+        (merge.py), so the view equals the post-merge index.
+        """
+        seg = self.segments.filter(
+            F.col("term").isNotNull() & (F.col("term") != TOMBSTONE_TERM)
+        )
+        if terms is not None:
+            seg = seg.filter(F.col("term").isin(list(terms)))
+
+        def _decode(it):
+            from alertsage_spark.index.compress import (
+                delta_decode,
+                varbyte_decode,
+            )
+
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docs = delta_decode(
+                        varbyte_decode(bytes(r.doc_bytes))
+                    ).astype("int64")
+                    tfs = varbyte_decode(bytes(r.tf_bytes)).astype("int64")
+                    outs.append(
+                        pd.DataFrame(
+                            {"term": r.term, "doc_id": docs, "tf": tfs}
+                        )
+                    )
+                yield (
+                    pd.concat(outs)
+                    if outs
+                    else pd.DataFrame(
+                        {"term": pd.Series(dtype="object"),
+                         "doc_id": pd.Series(dtype="int64"),
+                         "tf": pd.Series(dtype="int64")}
+                    )
+                )
+
+        raw = seg.select("term", "doc_bytes", "tf_bytes").mapInPandas(
+            _decode, schema="term string, doc_id long, tf long"
+        )
+        out = raw.groupBy("term", "doc_id").agg(F.max("tf").alias("tf"))
+        tomb = self._tombstone_docs_df()
+        if tomb is not None:
+            out = out.join(tomb, "doc_id", "left_anti")
+        return out
+
+    def doclen_df(self) -> DataFrame:
+        """Decoded (doc_id, dl) — max-dl dedup across groups (the merge
+        rule), tombstoned docs removed."""
+
+        def _decode(it):
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    d, l = decode_doclen_row(
+                        {"doc_bytes": r.doc_bytes, "tf_bytes": r.tf_bytes}
+                    )
+                    outs.append(pd.DataFrame({"doc_id": d, "dl": l}))
+                yield (
+                    pd.concat(outs)
+                    if outs
+                    else pd.DataFrame(
+                        {"doc_id": pd.Series(dtype="int64"),
+                         "dl": pd.Series(dtype="int64")}
+                    )
+                )
+
+        raw = self.doclen_rows.select("doc_bytes", "tf_bytes").mapInPandas(
+            _decode, schema="doc_id long, dl long"
+        )
+        out = raw.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        tomb = self._tombstone_docs_df()
+        if tomb is not None:
+            out = out.join(tomb, "doc_id", "left_anti")
+        return out
+
+    def _tombstone_docs_df(self) -> DataFrame | None:
+        tombs = self.segments.filter(F.col("term") == TOMBSTONE_TERM)
+
+        def _decode(it):
+            from alertsage_spark.index.compress import (
+                delta_decode,
+                varbyte_decode,
+            )
+
+            for pdf in it:
+                outs = [
+                    pd.DataFrame(
+                        {
+                            "doc_id": delta_decode(
+                                varbyte_decode(bytes(r.doc_bytes))
+                            ).astype("int64")
+                        }
+                    )
+                    for r in pdf.itertuples(index=False)
+                ]
+                yield (
+                    pd.concat(outs)
+                    if outs
+                    else pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+                )
+
+        # cheap local probe: no tombstone rows -> skip the anti-join
+        if not tombs.take(1):
+            return None
+        return tombs.select("doc_bytes").mapInPandas(
+            _decode, schema="doc_id long"
+        ).distinct()
+
+    def as_inverted_index(self, terms: list[str] | None = None):
+        """The compressed index exposed through the InvertedIndex
+        protocol (build.py), making bm25_topk / boolean_topk /
+        pattern_search / suggest run on the LSM segments directly.
+        ``terms`` slices the decode to the query's vocabulary — the
+        scale path: only the consulted posting lists are ever decoded.
+        n_docs/avgdl come from stats.json and (like the kernels) stay
+        stale between a delete and the purging merge — the Lucene
+        lifecycle contract documented at TOMBSTONE_TERM."""
+        from alertsage_spark.index.build import InvertedIndex
+
+        return InvertedIndex(
+            doclen=self.doclen_df(),
+            postings=self.postings_df(terms=terms),
+            termstats=self.termstats,
+            n_docs=int(self.stats["n_docs"]),
+            avgdl=float(self.stats["avgdl"]),
+            mode=self.stats.get("mode", "text"),
+        )
+
 
 def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:
     paths = IndexPaths(index_dir)

@@ -57,8 +57,10 @@ def clauses_df(spark, queries: list[tuple[str, dict[str, list[str]]]]) -> DataFr
     return spark.createDataFrame(rows, "query_id string, term string, role string")
 
 
-def boolean_topk(index: InvertedIndex, clauses: DataFrame, k: int = 10) -> DataFrame:
-    """Top-k per query: (query_id, doc_id, score double, rank int)."""
+def boolean_qualified(index: InvertedIndex, clauses: DataFrame) -> DataFrame:
+    """Qualifying (query_id, doc_id, score) rows — no cutoff, no rank.
+    The building block for boolean_topk and the query-language search
+    (parse.py), which post-filters before ranking."""
     required = clauses.filter(F.col("role") == "must").groupBy("query_id").agg(
         F.count_distinct("term").alias("n_must")
     )
@@ -85,7 +87,7 @@ def boolean_topk(index: InvertedIndex, clauses: DataFrame, k: int = 10) -> DataF
             F.max((F.col("role") == "must_not").cast("int")).alias("excluded"),
         )
     )
-    qualified = (
+    return (
         agg.join(F.broadcast(required), "query_id", "left")
         .withColumn("n_must", F.coalesce("n_must", F.lit(0)))
         .filter(
@@ -95,7 +97,13 @@ def boolean_topk(index: InvertedIndex, clauses: DataFrame, k: int = 10) -> DataF
             # whose BM25 contribution is strictly positive
             & ((F.col("n_must") > 0) | (F.col("score") > 0))
         )
+        .select("query_id", "doc_id", "score")
     )
+
+
+def boolean_topk(index: InvertedIndex, clauses: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k per query: (query_id, doc_id, score double, rank int)."""
+    qualified = boolean_qualified(index, clauses)
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
     )

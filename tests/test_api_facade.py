@@ -9,7 +9,7 @@ PUBLIC_API = [
     "suggest_n_shards", "merge_segments", "maybe_compact", "build_index",
     "build_fielded_index",
     "wand_topk", "bm25_topk", "boolean_topk", "clauses_df", "suggest",
-    "snippet_topdocs", "pattern_search",
+    "snippet_topdocs", "pattern_search", "parse_query", "search",
     "prepare_code_corpus",
     "exact_dedup", "minhash_lsh_pairs", "cosine_topk", "lsh_ann_topk",
     "ivf_ann_topk", "embedding_dup_pairs", "hybrid_features",

@@ -219,3 +219,59 @@ def test_fielded_index_title_weight_beats_body(spark):
     # dl is weighted: doc1 = 2*2 + 1*3 = 7
     dls = {r.doc_id: r.dl for r in idx.doclen.collect()}
     assert dls[1] == 7.0 and dls[2] == 7.0
+
+
+# ---- query-string language (query/parse.py) ----
+
+def test_parse_roles_and_camel_expansion():
+    from alertsage_spark.query.parse import parse_query
+
+    p = parse_query('+scanTable -badWord keep "exact phrase"')
+    assert sorted(p["must"]) == ["exact", "phrase", "scan", "table"]
+    assert sorted(p["must_not"]) == ["bad", "word"]
+    assert p["should"] == ["keep"]
+    assert p["phrases"] == [["exact", "phrase"]]
+
+
+def test_parse_role_precedence_keeps_strongest():
+    from alertsage_spark.query.parse import parse_query
+
+    p = parse_query("-scan scan +scan")
+    # must_not outranks must outranks should
+    assert p["must_not"] == ["scan"] and not p["must"] and not p["should"]
+
+
+def test_parse_quoted_single_token_is_a_word():
+    from alertsage_spark.query.parse import parse_query
+
+    p = parse_query('-"filter" "word"')
+    assert p["must_not"] == ["filter"]
+    assert p["should"] == ["word"]
+    assert p["phrases"] == []
+
+
+def test_parse_negated_phrase_rejected():
+    from alertsage_spark.query.parse import parse_query
+
+    with pytest.raises(ValueError, match="negated phrases"):
+        parse_query('-"alpha beta"')
+
+
+def test_search_phrase_gates_contiguity(spark):
+    from alertsage_spark.query.parse import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),   # contiguous 'alpha beta'
+            (2, "alpha gamma beta"),   # both tokens, NOT contiguous
+            (3, "beta alpha delta"),   # reversed order
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    out = search(spark, idx, docs, [("Q", '"alpha beta"'), ("R", "gamma")], k=5)
+    rows = {(r.query_id, r.doc_id): r.rank for r in out.collect()}
+    assert [d for (q, d) in rows if q == "Q"] == [1]
+    # phrase-free query untouched by the gate; ranks dense
+    r_hits = sorted((rows[k], k[1]) for k in rows if k[0] == "R")
+    assert [d for _, d in r_hits] == [1, 2] and [r for r, _ in r_hits] == [1, 2]
