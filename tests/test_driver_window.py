@@ -32,6 +32,14 @@ NEVER_DRIVER_CHECKED = {
     "ft_substring_search", "ft_prefix_search",
 }
 
+# Oracled round-3 entries registered BEHIND the window (no room left
+# without evicting a never-driver-checked entry) — rotate these in next
+# round once CORRECTNESS_r03 lands green rows for the current window:
+PENDING_NEXT_WINDOW = {
+    "ft_search_facets", "ft_bm25f_topk", "ft_term_autocomplete",
+    "ft_query_language", "ft_bm25_lsm_relview",
+}
+
 # Flagship entries that must never leave the window (baseline targets).
 MUST_KEEP = {
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",

@@ -164,3 +164,15 @@ def test_substring_search_broadcasts_patterns(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_relview_sliced_decode_pushes_term_filter_to_scan(spark, tmp_path):
+    """postings_df(terms=...) must push the IN filter into the parquet
+    scan BEFORE the decode UDF — only consulted posting lists decoded."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    d = tmp_path / "idx"
+    build_segments(spark, docs, str(d), n_shards=4, n_groups=1)
+    idx = load_index(spark, str(d))
+    plan = _plan(idx.postings_df(terms=["data", "stream"]))
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "term" in pushed and "In(" in pushed
