@@ -126,11 +126,20 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _bm25_oracle_sql(k: int = 10) -> str:
+_BM25_FINAL_SELECT = (
+    'SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}'
+)
+
+
+def _bm25_oracle_sql(k: int = 10, final_select: str | None = None) -> str:
+    """Flagship BM25 oracle. ``final_select`` (a {k}-template) swaps the
+    projection over the shared ranked CTE — the facets oracle composes
+    this way instead of string-surgery on the default SELECT."""
     values = ",\n    ".join(
         f"({_sql_quote(cid)}, {_sql_quote(text)})" for cid, _l, text in REFERENCE_QUERIES
     )
     qtoks = duckdb_tokens_sql("query_text")
+    final = (final_select or _BM25_FINAL_SELECT).format(k=k)
     return f"""
 WITH {_TOKS_CTE},
 queries(query_id, query_text) AS (VALUES
@@ -158,7 +167,7 @@ ranked AS (
            ORDER BY round(score, 6) DESC, doc_id ASC) AS INTEGER) AS "rank"
   FROM scored
 )
-SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
+{final}
 """
 
 
@@ -2905,23 +2914,21 @@ def _snippet_oracle_sql(k: int = 3, width: int = 30) -> str:
         f"({_sql_quote(qid)}, {_sql_quote(t)})" for qid, t in _SNIPPET_QUERIES
     )
     return f"""
-WITH toks AS (SELECT doc_id, lower(text) AS lt, {duckdb_tokens_sql("text")} AS t
-              FROM documents),
-streamed AS (SELECT doc_id, lt,
-                    ' ' || array_to_string(t, ' ') || ' ' AS s FROM toks),
+WITH streamed AS (SELECT doc_id, lower(text) AS lt,
+                         {duckdb_tokens_sql("text")} AS t
+                  FROM documents),
 queries(query_id, term) AS (VALUES
     {values}
 ),
 matched AS (
   SELECT q.query_id, d.doc_id,
-         CAST((length(d.s) - length(replace(d.s, ' ' || q.term || ' ', '')))
-              / length(' ' || q.term || ' ') AS BIGINT) AS n_occ,
+         CAST(len(list_filter(d.t, x -> x = q.term)) AS BIGINT) AS n_occ,
          substr(d.lt,
                 greatest(1, strpos(d.lt, q.term) - {width}),
                 strpos(d.lt, q.term) - greatest(1, strpos(d.lt, q.term) - {width}))
          || '[' || substr(d.lt, strpos(d.lt, q.term), length(q.term)) || ']'
          || substr(d.lt, strpos(d.lt, q.term) + length(q.term), {width}) AS snip
-  FROM streamed d JOIN queries q ON contains(d.s, ' ' || q.term || ' ')
+  FROM streamed d JOIN queries q ON list_contains(d.t, q.term)
 ),
 ranked AS (
   SELECT query_id, doc_id, n_occ, snip,
@@ -2937,9 +2944,10 @@ SELECT query_id, doc_id, n_occ, snip, "rank" FROM ranked WHERE "rank" <= {k}
 @register("ft_snippet_topdocs", _snippet_oracle_sql(3))
 def ft_snippet_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hit-highlight snippets for the top docs per query term
-    (query/snippet.py): occurrence counting over the normalized token
-    stream, snippet window cut from lower(text) with identical 1-based
-    offset arithmetic on both engines."""
+    (query/snippet.py): exact token-instance occurrence counts over the
+    normalized token array (adjacent occurrences each count), snippet
+    window cut from lower(text) with identical 1-based offset
+    arithmetic on both engines."""
     from alertsage_spark.query.snippet import snippet_topdocs
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3022,8 +3030,9 @@ def ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _facets_oracle_sql(k: int = 10) -> str:
     # facet aggregation over the SAME ranked top-k CTE as the BM25 oracle
-    base = _bm25_oracle_sql(k).rsplit("SELECT query_id, doc_id, score,", 1)[0]
-    return f"""{base}
+    return _bm25_oracle_sql(
+        k,
+        final_select="""
 SELECT r.query_id, d.lang, d.source,
        CAST(count(*) AS BIGINT) AS n,
        round(avg(r.score), 6) AS avg_score
@@ -3031,7 +3040,8 @@ FROM ranked r JOIN documents d USING (doc_id)
 WHERE r."rank" <= {k}
 GROUP BY r.query_id, d.lang, d.source
 ORDER BY r.query_id, d.lang, d.source
-"""
+""",
+    )
 
 
 @register("ft_search_facets", _facets_oracle_sql(10))
@@ -3154,16 +3164,20 @@ SELECT query_id, term, df, "rank" FROM ranked WHERE "rank" <= {n}
 @register("ft_term_autocomplete", _autocomplete_oracle_sql(5))
 def ft_term_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-box autocomplete: top-5 vocabulary completions per prefix,
-    ranked by document frequency. At scale the term dictionary is
-    SORTED (segments store terms ordered), so a prefix lookup is a
-    dictionary RANGE SCAN, not a full scan — here expressed as
-    startswith over termstats, which Catalyst rewrites to a
-    StartsWith predicate pushable into the parquet dictionary."""
+    ranked by document frequency. The dictionary is pruned FIRST with a
+    literal OR-of-ranges predicate (term >= p AND term < successor(p)) —
+    a pushable range scan of the sorted term dictionary, not a full
+    vocab scan; only the handful of surviving terms meet the broadcast
+    prefix table to pick up their query_id."""
     index = _rel_index_for(spark, sf_dir)
+    cond = None
+    for _qid, p in _AUTOCOMPLETE_QUERIES:
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        c = (F.col("term") >= p) & (F.col("term") < hi)
+        cond = c if cond is None else (cond | c)
+    pruned = index.termstats.filter(cond)
     pref = spark.createDataFrame(_AUTOCOMPLETE_QUERIES, "query_id string, prefix string")
-    cand = F.broadcast(pref).join(
-        index.termstats, F.col("term").startswith(F.col("prefix"))
-    )
+    cand = pruned.join(F.broadcast(pref), F.col("term").startswith(F.col("prefix")))
     w = Window.partitionBy("query_id").orderBy(F.col("df").desc(), F.col("term").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -82,6 +82,9 @@ _SEG_COLS = [
 # against later appends).
 TOMBSTONE_TERM = "!deleted!"
 
+# sentinel: "tombstones not computed yet" (None means "none exist")
+_UNSET = object()
+
 MANIFEST_SCHEMA = (
     "build_id string, group_id int, n_shards int, n_groups int, "
     "n_docs long, n_terms long, n_postings long, "
@@ -759,7 +762,7 @@ class SegmentIndex:
                 self.dl_map[sid] = (d[order], l[order])
         return self
 
-    def postings_df(self, terms: list[str] | None = None) -> DataFrame:
+    def postings_df(self, terms: list[str] | None = None, _tomb=_UNSET) -> DataFrame:
         """Decoded (term, doc_id, tf) postings — the RELATIONAL view of
         the compressed LSM index, so every relational query surface
         (boolean retrieval, substring candidates, fuzzy df ranking, the
@@ -780,18 +783,23 @@ class SegmentIndex:
             seg = seg.filter(F.col("term").isin(list(terms)))
 
         def _decode(it):
-            from alertsage_spark.index.compress import (
-                delta_decode,
-                varbyte_decode,
-            )
+            # block-aware decode: the delta stream RESTARTS (absolute
+            # doc_id) at every BLOCK_SIZE boundary, so a whole-stream
+            # delta_decode corrupts any list longer than one block —
+            # decode_posting_list walks the block offsets.
+            from alertsage_spark.index.compress import decode_posting_list
 
             for pdf in it:
                 outs = []
                 for r in pdf.itertuples(index=False):
-                    docs = delta_decode(
-                        varbyte_decode(bytes(r.doc_bytes))
-                    ).astype("int64")
-                    tfs = varbyte_decode(bytes(r.tf_bytes)).astype("int64")
+                    docs, tfs = decode_posting_list(
+                        {
+                            "doc_bytes": bytes(r.doc_bytes),
+                            "tf_bytes": bytes(r.tf_bytes),
+                            "block_doc_offsets": r.block_doc_offsets,
+                            "block_tf_offsets": r.block_tf_offsets,
+                        }
+                    )
                     outs.append(
                         pd.DataFrame(
                             {"term": r.term, "doc_id": docs, "tf": tfs}
@@ -807,16 +815,17 @@ class SegmentIndex:
                     )
                 )
 
-        raw = seg.select("term", "doc_bytes", "tf_bytes").mapInPandas(
-            _decode, schema="term string, doc_id long, tf long"
-        )
+        raw = seg.select(
+            "term", "doc_bytes", "tf_bytes",
+            "block_doc_offsets", "block_tf_offsets",
+        ).mapInPandas(_decode, schema="term string, doc_id long, tf long")
         out = raw.groupBy("term", "doc_id").agg(F.max("tf").alias("tf"))
-        tomb = self._tombstone_docs_df()
+        tomb = self._tombstone_docs_df() if _tomb is _UNSET else _tomb
         if tomb is not None:
             out = out.join(tomb, "doc_id", "left_anti")
         return out
 
-    def doclen_df(self) -> DataFrame:
+    def doclen_df(self, _tomb=_UNSET) -> DataFrame:
         """Decoded (doc_id, dl) — max-dl dedup across groups (the merge
         rule), tombstoned docs removed."""
 
@@ -841,7 +850,7 @@ class SegmentIndex:
             _decode, schema="doc_id long, dl long"
         )
         out = raw.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-        tomb = self._tombstone_docs_df()
+        tomb = self._tombstone_docs_df() if _tomb is _UNSET else _tomb
         if tomb is not None:
             out = out.join(tomb, "doc_id", "left_anti")
         return out
@@ -890,9 +899,10 @@ class SegmentIndex:
         lifecycle contract documented at TOMBSTONE_TERM."""
         from alertsage_spark.index.build import InvertedIndex
 
+        tomb = self._tombstone_docs_df()  # probe/decode ONCE for both views
         return InvertedIndex(
-            doclen=self.doclen_df(),
-            postings=self.postings_df(terms=terms),
+            doclen=self.doclen_df(_tomb=tomb),
+            postings=self.postings_df(terms=terms, _tomb=tomb),
             termstats=self.termstats,
             n_docs=int(self.stats["n_docs"]),
             avgdl=float(self.stats["avgdl"]),

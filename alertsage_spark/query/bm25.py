@@ -51,17 +51,30 @@ def query_terms(
     )
 
 
-def bm25_scores(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
-    """Full (query_id, doc_id, score) table — no k cutoff."""
+def term_score_rows(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+    """Per-(query_id, term, doc_id) BM25 term scores, pre-aggregation.
+
+    ``qterms`` needs (query_id, term); any EXTRA columns (e.g. the
+    boolean engine's clause ``role``) ride along untouched. This is the
+    ONE definition of the scoring join shape — broadcast query terms
+    into the postings scan, broadcast the filtered termstats, join
+    doclen — shared by bm25_scores and boolean_qualified so the two
+    paths cannot drift apart."""
     matched = F.broadcast(qterms).join(index.postings, "term")
     with_stats = matched.join(F.broadcast(qterms.select("term").distinct().join(index.termstats, "term")), "term")
     with_len = with_stats.join(index.doclen, "doc_id")
     norm = (F.col("tf") * (K1 + 1.0)) / (
         F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(index.avgdl))
     )
-    term_score = idf_col(F.col("df"), index.n_docs) * norm
+    return with_len.withColumn(
+        "term_score", idf_col(F.col("df"), index.n_docs) * norm
+    )
+
+
+def bm25_scores(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
+    """Full (query_id, doc_id, score) table — no k cutoff."""
     return (
-        with_len.withColumn("term_score", term_score)
+        term_score_rows(index, qterms)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("term_score").alias("score"))
     )

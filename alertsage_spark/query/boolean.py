@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from alertsage_spark.index.build import B, K1, InvertedIndex, idf_col
+from alertsage_spark.index.build import InvertedIndex
 
 ROLES = ("must", "should", "must_not")
 
@@ -61,24 +61,20 @@ def boolean_qualified(index: InvertedIndex, clauses: DataFrame) -> DataFrame:
     """Qualifying (query_id, doc_id, score) rows — no cutoff, no rank.
     The building block for boolean_topk and the query-language search
     (parse.py), which post-filters before ranking."""
+    from alertsage_spark.query.bm25 import term_score_rows
+
     required = clauses.filter(F.col("role") == "must").groupBy("query_id").agg(
         F.count_distinct("term").alias("n_must")
     )
-    matched = F.broadcast(clauses).join(index.postings, "term")
-    with_stats = matched.join(
-        F.broadcast(clauses.select("term").distinct().join(index.termstats, "term")),
-        "term",
+    # the ONE scoring join shape (bm25.py); `role` rides along
+    scored = term_score_rows(index, clauses).withColumn(
+        "term_score",
+        F.when(F.col("role") != "must_not", F.col("term_score")).otherwise(
+            F.lit(0.0)
+        ),
     )
-    with_len = with_stats.join(index.doclen, "doc_id")
-    norm = (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(index.avgdl))
-    )
-    term_score = F.when(
-        F.col("role") != "must_not", idf_col(F.col("df"), index.n_docs) * norm
-    ).otherwise(F.lit(0.0))
     agg = (
-        with_len.withColumn("term_score", term_score)
-        .groupBy("query_id", "doc_id")
+        scored.groupBy("query_id", "doc_id")
         .agg(
             F.sum("term_score").alias("score"),
             F.count_distinct(

@@ -8,8 +8,9 @@ highlighted matches in /root/reference/src/triage/ui_premium.py result
 tables) as a deterministic, distributed operator.
 
 Determinism contract (shared with the DuckDB oracle):
-  * matching/ranking is over the NORMALIZED token stream (tokenizer
-    spec), so "scan" never matches inside "scans" when counting;
+  * matching/ranking is over the NORMALIZED token array (tokenizer
+    spec), counting exact token instances — "scan" never matches
+    inside "scans", and adjacent occurrences each count;
   * the snippet position is the first occurrence of the term in
     lower(text) — guaranteed to exist because every token is a
     contiguous character run of the lowercased source (the tokenizer
@@ -60,19 +61,17 @@ def snippet_topdocs(
     streamed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.lower(F.col(text_col)).alias("lt"),
-        F.concat(
-            F.lit(" "), F.array_join(tokenize_col(F.col(text_col)), " "), F.lit(" ")
-        ).alias("s"),
+        tokenize_col(F.col(text_col)).alias("toks"),
     )
-    needle = F.concat(F.lit(" "), F.col("term"), F.lit(" "))
+    # exact token-instance count (an ' x ' needle over the joined stream
+    # undercounts ADJACENT occurrences: non-overlapping replace consumes
+    # the shared boundary space)
     matched = streamed.join(
-        F.broadcast(qterms), F.col("s").contains(needle)
+        F.broadcast(qterms), F.array_contains("toks", F.col("term"))
     ).select(
         "query_id",
         "doc_id",
-        (
-            (F.length("s") - F.length(F.replace(F.col("s"), needle))) / F.length(needle)
-        )
+        F.size(F.filter("toks", lambda x: x == F.col("term")))
         .cast("bigint")
         .alias("n_occ"),
         snippet_col(F.col("lt"), F.col("term"), width).alias("snip"),

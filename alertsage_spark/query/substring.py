@@ -37,20 +37,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alertsage_spark.index.build import InvertedIndex
-from alertsage_spark.tokenizer import TRIGRAM_PREFIX, tokenize_col
+from alertsage_spark.tokenizer import token_trigrams_col, tokenize_col
 
 MIN_PATTERN_LEN = 3
 
 
 def _pattern_trigrams(col):
     # |P| >= 3 guaranteed -> sequence stop >= start (Spark sequence
-    # DESCENDS for stop < start rather than returning empty).
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(col) - 2),
-            lambda i: F.concat(F.lit(TRIGRAM_PREFIX), col.substr(i, F.lit(3))),
-        )
-    )
+    # DESCENDS for stop < start rather than returning empty). The
+    # trigram rule itself is the tokenizer's ONE definition.
+    return F.array_distinct(token_trigrams_col(col))
 
 
 def pattern_search(

@@ -56,6 +56,17 @@ def _normalize_col(col: Column) -> Column:
     return c
 
 
+def token_trigrams_col(t: Column) -> Column:
+    """'#'-prefixed character trigrams of ONE token/string — the single
+    Spark-SQL definition of the trigram rule, shared by the code-mode
+    tokenizer below and the substring-search pattern expansion
+    (query/substring.py), so the two sides cannot drift apart."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2),
+        lambda i: F.concat(F.lit(TRIGRAM_PREFIX), t.substr(i, F.lit(3))),
+    )
+
+
 def tokenize_col(col: Column, mode: str = "text") -> Column:
     """Token array as a pure Spark SQL expression (ArrayType(StringType)).
 
@@ -71,10 +82,7 @@ def tokenize_col(col: Column, mode: str = "text") -> Column:
     trigrams = F.flatten(
         F.transform(
             F.filter(toks, lambda t: F.length(t) >= TRIGRAM_MIN_LEN),
-            lambda t: F.transform(
-                F.sequence(F.lit(1), F.length(t) - 2),
-                lambda i: F.concat(F.lit(TRIGRAM_PREFIX), t.substr(i, F.lit(3))),
-            ),
+            token_trigrams_col,
         )
     )
     return F.concat(toks, trigrams)

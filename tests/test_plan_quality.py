@@ -176,3 +176,13 @@ def test_relview_sliced_decode_pushes_term_filter_to_scan(spark, tmp_path):
     plan = _plan(idx.postings_df(terms=["data", "stream"]))
     pushed = plan.split("PushedFilters")[1][:300]
     assert "term" in pushed and "In(" in pushed
+
+
+def test_autocomplete_prunes_dictionary_with_range_predicates(spark):
+    """The OR-of-ranges literal predicate must appear in the plan as a
+    dictionary filter BEFORE the prefix-assignment join — autocomplete
+    must never start from a full-vocabulary nested-loop join."""
+    df = catalog.queries()["ft_term_autocomplete"](spark, SF_DIR)
+    plan = _optimized(df)
+    # attribute names print with exprIds (term#10 >= sc)
+    assert ">= sc" in plan and "< sd" in plan and ">= zz" in plan

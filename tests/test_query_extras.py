@@ -114,14 +114,18 @@ def test_snippet_term_at_start_and_occurrence_count(spark):
     docs = spark.createDataFrame(
         [(1, "needle at the very start and a needle later"),
          (2, "no match here"),
-         (3, "one needle only")],
+         (3, "one needle only"),
+         (4, "needle needle needle x")],  # ADJACENT occurrences
         "doc_id long, text string",
     )
     qdf = spark.createDataFrame([("S", "needle")], "query_id string, term string")
-    rows = {r.doc_id: r for r in snippet_topdocs(docs, qdf, k=3, width=10).collect()}
-    assert set(rows) == {1, 3}
-    assert rows[1].n_occ == 2 and rows[1].rank == 1
-    assert rows[3].n_occ == 1 and rows[3].rank == 2
+    rows = {r.doc_id: r for r in snippet_topdocs(docs, qdf, k=4, width=10).collect()}
+    assert set(rows) == {1, 3, 4}
+    # adjacent occurrences each count (the old ' x '-needle replace
+    # counting consumed the shared space and undercounted these)
+    assert rows[4].n_occ == 3 and rows[4].rank == 1
+    assert rows[1].n_occ == 2 and rows[1].rank == 2
+    assert rows[3].n_occ == 1 and rows[3].rank == 3
     # doc 1: first occurrence at position 1 -> no pre-context
     assert rows[1].snip.startswith("[needle]")
     assert rows[1].snip == "[needle] at the ve"

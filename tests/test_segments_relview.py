@@ -82,3 +82,25 @@ def test_relview_dedups_reingested_group_by_merge_rule(spark, docs, tmp_path):
     assert {(r.doc_id, r.dl) for r in seg.doclen_df().collect()} == {
         (r.doc_id, r.dl) for r in rel.doclen.collect()
     }
+
+
+def test_relview_decodes_across_block_boundaries(spark, tmp_path):
+    """A posting list longer than BLOCK_SIZE restarts its delta stream
+    (absolute doc_id) at each block — the decode must walk block
+    offsets, not cumsum the whole stream (regression: doc_ids > max
+    real id appeared past posting 128)."""
+    from alertsage_spark.index.compress import BLOCK_SIZE
+
+    n = BLOCK_SIZE * 2 + 40  # 3 blocks
+    docs = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "alpha") for i in range(n)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "idx")
+    build_segments(spark, docs, d, n_shards=1, n_groups=1)
+    seg = load_index(spark, d)
+    out = seg.postings_df(terms=["alpha"]).collect()
+    assert {r.doc_id for r in out} == set(range(n))
+    assert all(r.tf == 1 for r in out)
+    rel = build_index(docs)
+    assert _postings_set(seg.postings_df()) == _postings_set(rel.postings)
