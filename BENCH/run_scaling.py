@@ -70,7 +70,13 @@ def main() -> None:
 
     best_n = max(x["n"] for x in pairs)
     best_4n = max(x["fourn"] for x in pairs)
-    eff = round(best_4n / best_n / 4.0, 3)
+    # the recorded efficiency is the MEDIAN of per-pair ratios: each
+    # ratio compares two runs inside the same drift window (that is the
+    # whole point of interleaving); a best-over-pairs ratio mixes drift
+    # windows and can record impossible >1.0 values
+    import statistics
+
+    eff = round(statistics.median(x["eff"] for x in pairs), 3)
 
     doc = {}
     if os.path.exists(OUT):

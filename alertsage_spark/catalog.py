@@ -2343,12 +2343,18 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("t") - (_NGRAM - 1), F.lit(0))
+            # guard: a doc with < _NGRAM tokens has NO shingles. An
+            # unguarded sequence(1, size-4) DESCENDS to [1, 0] for short
+            # docs (Spark sequence never returns empty) and slice(t, 0,
+            # n) throws — the when() yields the empty array DuckDB's
+            # generate_series(1, 0) produces.
+            F.when(
+                F.size("t") >= _NGRAM,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
+                    lambda i: F.array_join(F.slice("t", i, _NGRAM), " "),
                 ),
-                lambda i: F.array_join(F.slice("t", i, _NGRAM), " "),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     ).distinct()
     bench = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
@@ -2421,10 +2427,15 @@ def pipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
-                lambda i: F.array_join(F.slice("t", i, 2), " "),
-            )
+            # same short-doc guard as pipe_decontaminate: < 2 tokens ->
+            # no bigrams (empty array), never sequence(1, 0) -> [1, 0]
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.array_join(F.slice("t", i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
     per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
@@ -2921,7 +2932,7 @@ queries(query_id, term) AS (VALUES
     {values}
 ),
 matched AS (
-  SELECT q.query_id, d.doc_id,
+  SELECT q.query_id, q.term, d.doc_id,
          CAST(len(list_filter(d.t, x -> x = q.term)) AS BIGINT) AS n_occ,
          substr(d.lt,
                 greatest(1, strpos(d.lt, q.term) - {width}),
@@ -2931,13 +2942,14 @@ matched AS (
   FROM streamed d JOIN queries q ON list_contains(d.t, q.term)
 ),
 ranked AS (
-  SELECT query_id, doc_id, n_occ, snip,
+  SELECT query_id, term, doc_id, n_occ, snip,
          CAST(row_number() OVER (
-           PARTITION BY query_id
+           PARTITION BY query_id, term
            ORDER BY n_occ DESC, doc_id ASC) AS INTEGER) AS "rank"
   FROM matched
 )
-SELECT query_id, doc_id, n_occ, snip, "rank" FROM ranked WHERE "rank" <= {k}
+SELECT query_id, term, doc_id, n_occ, snip, "rank"
+FROM ranked WHERE "rank" <= {k}
 """
 
 

@@ -593,9 +593,10 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     shard_col rule and encoded per shard exactly like a doclen row
     (sorted delta+varbyte ids, zero lengths), so every decoder already
     understands the row. The group lands via the same staging+rename
-    append_group uses (crash-safe); returns the new group id. Scales:
-    one narrow shuffle on shard_id, one tombstone row per touched shard,
-    no driver-side id list."""
+    append_group uses (crash-safe); returns the new group id, or -1 for
+    an empty ``doc_ids`` (no-op: no group is committed, serving
+    snapshots stay valid). Scales: one narrow shuffle on shard_id, one
+    tombstone row per touched shard, no driver-side id list."""
     import glob as _glob
 
     paths = IndexPaths(index_dir)
@@ -607,6 +608,11 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
             [(int(i),) for i in doc_ids], "doc_id long"
         )
     ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    if not ids.take(1):
+        # empty delete is a no-op: committing an empty tombstone group
+        # would bump the group count and invalidate every serving
+        # snapshot (assert_serving_fresh) for nothing
+        return -1
 
     def build_tomb(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from alertsage_spark.index.compress import delta_encode, varbyte_encode

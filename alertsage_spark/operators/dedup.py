@@ -426,42 +426,46 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _i in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
+    try:
+        labels = (
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations"
-        )
-    edges.unpersist()
+        for _i in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels["node"] == nbr["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations"
+            )
+    finally:
+        # also on the non-convergence raise — a leaked cached edges DF
+        # would pin executor storage for the session lifetime
+        edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

@@ -56,7 +56,8 @@ def snippet_topdocs(
 
     docs:   (doc_id, text)
     qterms: (query_id, term) — term must be tokenizer-normalized.
-    Returns (query_id, doc_id, n_occ bigint, snip string, rank int).
+    Returns (query_id, term, doc_id, n_occ bigint, snip string,
+    rank int) — rank is dense per (query_id, term).
     """
     streamed = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -70,17 +71,20 @@ def snippet_topdocs(
         F.broadcast(qterms), F.array_contains("toks", F.col("term"))
     ).select(
         "query_id",
+        "term",
         "doc_id",
         F.size(F.filter("toks", lambda x: x == F.col("term")))
         .cast("bigint")
         .alias("n_occ"),
         snippet_col(F.col("lt"), F.col("term"), width).alias("snip"),
     )
-    w = Window.partitionBy("query_id").orderBy(
+    # top-k PER (query, term): a multi-term query must not let one
+    # term's high-count docs evict another term's snippets
+    w = Window.partitionBy("query_id", "term").orderBy(
         F.col("n_occ").desc(), F.col("doc_id").asc()
     )
     return (
         matched.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "n_occ", "snip", "rank")
+        .select("query_id", "term", "doc_id", "n_occ", "snip", "rank")
     )

@@ -103,9 +103,15 @@ def pattern_search(
     cands = cand_tri.unionByName(cand_exact).distinct()
 
     pred = F.contains if match == "contains" else F.startswith
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokenize_col(F.col(text_col)).alias("toks"),  # plain tokens: the
+    # semi-join FIRST, tokenize AFTER: the verify re-tokenizes ONLY the
+    # candidate docs (a tokenize-then-join projection would evaluate the
+    # tokenizer over the whole corpus before the join prunes it)
+    cand_docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
+    toks = cand_docs.select(
+        "doc_id",
+        tokenize_col(F.col("_text")).alias("toks"),  # plain tokens: the
         # verify semantics are over identifiers, not trigram terms
     )
     return (

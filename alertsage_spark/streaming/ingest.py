@@ -41,10 +41,14 @@ from pyspark.sql import DataFrame, SparkSession
 from alertsage_spark.index.segments import (
     IndexPaths,
     build_segments,
+    refresh_stats,
     refresh_stats_incremental,
 )
 
 _MARKER = "_stream_batch.json"
+# written into a group dir only AFTER its stats refresh completed; a
+# committed group missing it marks a crash in the commit->refresh gap
+_STATS_OK = "_stats_ok"
 
 
 def committed_batch_ids(index_dir: str) -> set[int]:
@@ -55,6 +59,23 @@ def committed_batch_ids(index_dir: str) -> set[int]:
         with open(p) as f:
             out.add(int(json.load(f)["batch_id"]))
     return out
+
+
+def _repair_stats_if_needed(spark: SparkSession, index_dir: str) -> bool:
+    """If any committed group lacks its _STATS_OK stamp (crash landed
+    between the group rename and the stats refresh), rerun the FULL
+    stats recompute — idempotent over all groups — and stamp every
+    group. Without this, re-delivery skips the batch via its marker and
+    the stats gap would be permanent."""
+    groups = _glob.glob(os.path.join(index_dir, "segments", "group=*"))
+    missing = [g for g in groups if not os.path.exists(os.path.join(g, _STATS_OK))]
+    if not missing:
+        return False
+    refresh_stats(spark, index_dir)
+    for g in groups:
+        with open(os.path.join(g, _STATS_OK), "w") as f:
+            f.write("{}")
+    return True
 
 
 def ingest_batch(
@@ -69,6 +90,9 @@ def ingest_batch(
     group was committed, False if the batch was empty or already
     committed (re-delivery). Safe to call directly (batch twin)."""
     if batch_id in committed_batch_ids(index_dir):
+        # re-delivery: the group is durable, but a crash may have landed
+        # BETWEEN the commit rename and the stats refresh — repair now
+        _repair_stats_if_needed(spark, index_dir)
         return False
     rows = batch_df.limit(1).count()
     if rows == 0:
@@ -102,8 +126,22 @@ def ingest_batch(
             json.dump({"batch_id": int(batch_id)}, f)
         if not os.path.exists(paths.config_json):
             # first batch: adopt the staging index wholesale (config,
-            # manifest, termstats, stats all already consistent)
-            os.makedirs(os.path.dirname(index_dir.rstrip("/")) or ".", exist_ok=True)
+            # manifest, termstats, stats all already consistent — stamp
+            # the group's stats as done up front)
+            with open(os.path.join(src_group, _STATS_OK), "w") as f:
+                f.write("{}")
+            if os.path.isdir(index_dir):
+                # shutil.move into an EXISTING dir would nest the
+                # staging index inside it (broken forever); adopt only
+                # an empty pre-created dir, refuse anything else
+                if os.listdir(index_dir):
+                    raise ValueError(
+                        f"{index_dir} exists, is non-empty, and is not an "
+                        "index (no build_config.json) — refusing to adopt"
+                    )
+                os.rmdir(index_dir)
+            parent = os.path.dirname(os.path.abspath(index_dir.rstrip("/")))
+            os.makedirs(parent, exist_ok=True)
             shutil.move(stage_root, index_dir)
             stage_root = None
             return True
@@ -117,8 +155,12 @@ def ingest_batch(
         os.rename(tmp, final)  # <- commit point
         # O(vocab + batch) incremental stats merge — identical result to
         # the full recompute (exact integer sums), without the
-        # O(total corpus) rescan that would invert the LSM cost model
+        # O(total corpus) rescan that would invert the LSM cost model.
+        # The _STATS_OK stamp lands only after it completes; a crash in
+        # between is repaired on re-delivery (_repair_stats_if_needed).
         refresh_stats_incremental(spark, index_dir, stage_root)
+        with open(os.path.join(final, _STATS_OK), "w") as f:
+            f.write("{}")
         return True
     finally:
         if stage_root is not None:

@@ -279,3 +279,23 @@ def test_search_phrase_gates_contiguity(spark):
     # phrase-free query untouched by the gate; ranks dense
     r_hits = sorted((rows[k], k[1]) for k in rows if k[0] == "R")
     assert [d for _, d in r_hits] == [1, 2] and [r for r, _ in r_hits] == [1, 2]
+
+
+def test_snippet_ranks_per_term_not_per_query(spark):
+    """Multi-term queries: each term gets its own top-k — a term with
+    high-count matches must not evict another term's snippets."""
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha alpha"),
+         (2, "alpha alpha alpha"),
+         (3, "beta only here")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [("S", "alpha"), ("S", "beta")], "query_id string, term string"
+    )
+    out = snippet_topdocs(docs, qdf, k=2, width=10).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r.term, []).append((r.rank, r.doc_id, r.n_occ))
+    assert sorted(by_term["alpha"]) == [(1, 1, 4), (2, 2, 3)]
+    assert sorted(by_term["beta"]) == [(1, 3, 1)]  # not evicted by alpha

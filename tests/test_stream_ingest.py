@@ -135,3 +135,60 @@ def test_incremental_stats_match_full_recompute(spark, tmp_path):
     assert stats_inc == stats_full
     assert ts_inc == ts_full
     assert stats_full["n_docs"] == 650
+
+
+def test_adopt_into_precreated_empty_dir(spark, tmp_path):
+    """The README pattern: user mkdir -p's the index dir first. The
+    first-batch adopt must land the index AT that path, never nested
+    inside it (shutil.move semantics when dst exists)."""
+    idx_dir = str(tmp_path / "pre")
+    os.makedirs(idx_dir)
+    docs = zipf_corpus(spark, 200, seed=7)
+    assert ingest_batch(spark, docs, 0, idx_dir, n_shards=2)
+    assert os.path.exists(os.path.join(idx_dir, "build_config.json"))
+    idx = load_index(spark, idx_dir)
+    assert int(idx.stats["n_docs"]) == 200
+
+
+def test_adopt_refuses_nonempty_non_index_dir(spark, tmp_path):
+    idx_dir = str(tmp_path / "occupied")
+    os.makedirs(idx_dir)
+    with open(os.path.join(idx_dir, "somefile.txt"), "w") as f:
+        f.write("x")
+    docs = zipf_corpus(spark, 50, seed=8)
+    with pytest.raises(ValueError, match="refusing to adopt"):
+        ingest_batch(spark, docs, 0, idx_dir, n_shards=2)
+
+
+def test_crash_between_commit_and_stats_is_repaired_on_redelivery(spark, tmp_path):
+    """A crash AFTER the group rename but BEFORE the stats refresh must
+    be repaired when Structured Streaming re-delivers the batch — the
+    marker skip alone would make the stats gap permanent."""
+    import json as _json
+
+    from alertsage_spark.streaming.ingest import _STATS_OK
+
+    idx_dir = str(tmp_path / "gap")
+    d1 = zipf_corpus(spark, 300, seed=9)
+    d2 = zipf_corpus(spark, 200, seed=10).selectExpr(
+        "doc_id + 1000 AS doc_id", "text"
+    )
+    assert ingest_batch(spark, d1, 0, idx_dir, n_shards=2)
+    assert ingest_batch(spark, d2, 1, idx_dir, n_shards=2)
+    good = _json.load(open(os.path.join(idx_dir, "stats.json")))
+
+    # simulate the crash window: batch 1's group committed (marker
+    # present) but its stats stamp missing and stats.json stale
+    groups = sorted(glob.glob(os.path.join(idx_dir, "segments", "group=*")))
+    os.remove(os.path.join(groups[-1], _STATS_OK))
+    stale = dict(good)
+    stale["n_docs"] = 300  # pretend batch 1 never reached the stats
+    with open(os.path.join(idx_dir, "stats.json"), "w") as f:
+        _json.dump(stale, f)
+
+    # re-delivery of batch 1: skipped (exactly-once) AND repaired
+    assert ingest_batch(spark, d2, 1, idx_dir, n_shards=2) is False
+    repaired = _json.load(open(os.path.join(idx_dir, "stats.json")))
+    assert repaired["n_docs"] == good["n_docs"] == 500
+    assert abs(repaired["avgdl"] - good["avgdl"]) < 1e-9
+    assert os.path.exists(os.path.join(groups[-1], _STATS_OK))
