@@ -96,7 +96,7 @@ def main() -> None:
             "four_n_cores": 4 * n,
             "throughput_at_n": best_n,
             "throughput_at_4n": best_4n,
-            "speedup": round(best_4n / best_n, 3),
+            "speedup": round(4 * eff, 3),  # from the median pair, not cross-window bests
             "scaling_efficiency": eff,
         })
     with open(OUT, "w") as f:

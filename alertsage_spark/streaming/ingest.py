@@ -62,17 +62,27 @@ def committed_batch_ids(index_dir: str) -> set[int]:
 
 
 def _repair_stats_if_needed(spark: SparkSession, index_dir: str) -> bool:
-    """If any committed group lacks its _STATS_OK stamp (crash landed
-    between the group rename and the stats refresh), rerun the FULL
-    stats recompute — idempotent over all groups — and stamp every
-    group. Without this, re-delivery skips the batch via its marker and
-    the stats gap would be permanent."""
-    groups = _glob.glob(os.path.join(index_dir, "segments", "group=*"))
-    missing = [g for g in groups if not os.path.exists(os.path.join(g, _STATS_OK))]
+    """If any STREAM-committed group (it carries a batch marker) lacks
+    its _STATS_OK stamp — a crash landed between the group rename and
+    the stats refresh — rerun the FULL stats recompute (idempotent over
+    all groups) and stamp the marker groups. Scoped to marker groups:
+    delete_docs/append_group/merge groups have their own stats
+    contract, and an unstamped tombstone group must not trigger a
+    full-corpus rescan on every stream restart."""
+    stream_groups = [
+        os.path.dirname(p)
+        for p in _glob.glob(
+            os.path.join(index_dir, "segments", "group=*", _MARKER)
+        )
+    ]
+    missing = [
+        g for g in stream_groups
+        if not os.path.exists(os.path.join(g, _STATS_OK))
+    ]
     if not missing:
         return False
     refresh_stats(spark, index_dir)
-    for g in groups:
+    for g in stream_groups:
         with open(os.path.join(g, _STATS_OK), "w") as f:
             f.write("{}")
     return True
@@ -89,15 +99,26 @@ def ingest_batch(
     """Append one micro-batch as a new segment group. Returns True if a
     group was committed, False if the batch was empty or already
     committed (re-delivery). Safe to call directly (batch twin)."""
-    if batch_id in committed_batch_ids(index_dir):
-        # re-delivery: the group is durable, but a crash may have landed
-        # BETWEEN the commit rename and the stats refresh — repair now
+    paths = IndexPaths(index_dir)
+    adopting = not os.path.exists(paths.config_json)
+    if adopting and os.path.isdir(index_dir) and os.listdir(index_dir):
+        # checked BEFORE the batch build: the refusal is permanent, so
+        # discovering it after building the whole group would re-waste
+        # the build on every streaming retry
+        raise ValueError(
+            f"{index_dir} exists, is non-empty, and is not an "
+            "index (no build_config.json) — refusing to adopt"
+        )
+    if not adopting:
+        # unconditional: a crash in the commit->stats gap must be
+        # repaired even when the NEXT call carries a new batch id (the
+        # direct batch-twin usage has no re-delivery guarantee)
         _repair_stats_if_needed(spark, index_dir)
+    if batch_id in committed_batch_ids(index_dir):
         return False
     rows = batch_df.limit(1).count()
     if rows == 0:
         return False
-    paths = IndexPaths(index_dir)
     # build the batch's group in its own staging index, then adopt the
     # group dir. The staging build uses the SAME n_shards/mode so the
     # doc->shard layout matches (append_group's compatibility rule).
@@ -109,7 +130,12 @@ def ingest_batch(
                 "stream_ingest config mismatch with existing index: "
                 f"{cfg} vs n_shards={n_shards} mode={mode}"
             )
-    stage_root = tempfile.mkdtemp(prefix="stream_ingest_")
+    # stage on the SAME filesystem as index_dir: shutil.move is then an
+    # atomic rename, never a crashable cross-device copy (the adopt
+    # path's commit point); '_' prefix keeps it invisible to parquet
+    parent = os.path.dirname(os.path.abspath(index_dir.rstrip("/")))
+    os.makedirs(parent, exist_ok=True)
+    stage_root = tempfile.mkdtemp(prefix="_stream_ingest_", dir=parent)
     try:
         build_segments(
             spark,
@@ -132,16 +158,9 @@ def ingest_batch(
                 f.write("{}")
             if os.path.isdir(index_dir):
                 # shutil.move into an EXISTING dir would nest the
-                # staging index inside it (broken forever); adopt only
-                # an empty pre-created dir, refuse anything else
-                if os.listdir(index_dir):
-                    raise ValueError(
-                        f"{index_dir} exists, is non-empty, and is not an "
-                        "index (no build_config.json) — refusing to adopt"
-                    )
+                # staging index inside it; the entry guard proved the
+                # dir empty, so drop it and rename into place
                 os.rmdir(index_dir)
-            parent = os.path.dirname(os.path.abspath(index_dir.rstrip("/")))
-            os.makedirs(parent, exist_ok=True)
             shutil.move(stage_root, index_dir)
             stage_root = None
             return True

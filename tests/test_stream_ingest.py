@@ -192,3 +192,51 @@ def test_crash_between_commit_and_stats_is_repaired_on_redelivery(spark, tmp_pat
     assert repaired["n_docs"] == good["n_docs"] == 500
     assert abs(repaired["avgdl"] - good["avgdl"]) < 1e-9
     assert os.path.exists(os.path.join(groups[-1], _STATS_OK))
+
+
+def test_stats_gap_repaired_even_on_new_batch_id(spark, tmp_path):
+    """The direct batch-twin usage has no re-delivery guarantee: a crash
+    in the commit->stats gap followed by a NEW batch id must still
+    repair before the new batch's incremental merge compounds on the
+    gapped stats."""
+    import json as _json
+
+    from alertsage_spark.streaming.ingest import _STATS_OK
+
+    idx_dir = str(tmp_path / "gap2")
+    d1 = zipf_corpus(spark, 300, seed=21)
+    d2 = zipf_corpus(spark, 150, seed=22).selectExpr("doc_id + 1000 AS doc_id", "text")
+    d3 = zipf_corpus(spark, 100, seed=23).selectExpr("doc_id + 5000 AS doc_id", "text")
+    assert ingest_batch(spark, d1, 0, idx_dir, n_shards=2)
+    assert ingest_batch(spark, d2, 1, idx_dir, n_shards=2)
+    # simulate crash window on batch 1, then continue with batch 2
+    groups = sorted(glob.glob(os.path.join(idx_dir, "segments", "group=*")))
+    os.remove(os.path.join(groups[-1], _STATS_OK))
+    stats = _json.load(open(os.path.join(idx_dir, "stats.json")))
+    stats["n_docs"] = 300
+    with open(os.path.join(idx_dir, "stats.json"), "w") as f:
+        _json.dump(stats, f)
+    assert ingest_batch(spark, d3, 2, idx_dir, n_shards=2)
+    final = _json.load(open(os.path.join(idx_dir, "stats.json")))
+    assert final["n_docs"] == 550  # 300 + 150 (repaired) + 100
+
+
+def test_tombstone_group_does_not_trigger_stats_repair(spark, tmp_path):
+    """delete_docs groups carry no batch marker; their (deliberate)
+    missing stamp must not cause a full-corpus refresh on re-delivery —
+    and the LSM staleness contract (stats untouched until merge) must
+    survive the repair scoping."""
+    import json as _json
+
+    from alertsage_spark.index.segments import delete_docs
+
+    idx_dir = str(tmp_path / "tomb")
+    d1 = zipf_corpus(spark, 200, seed=24)
+    assert ingest_batch(spark, d1, 0, idx_dir, n_shards=2)
+    before = _json.load(open(os.path.join(idx_dir, "stats.json")))
+    delete_docs(spark, idx_dir, [1, 2, 3])
+    # re-delivery of batch 0: skipped, and NO repair fires (stats
+    # byte-identical — the tombstone group is out of repair scope)
+    assert ingest_batch(spark, d1, 0, idx_dir, n_shards=2) is False
+    after = _json.load(open(os.path.join(idx_dir, "stats.json")))
+    assert after == before
