@@ -2640,8 +2640,9 @@ def ft_bm25_code_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full code tokenizer AND the short-circuit in SQL, so the hash match
     certifies index-side trigram expansion, query-side short-circuit
     semantics, and BM25 scoring in one row. Query set covers the exact
-    path (known tokens), the trigram-fuzzy path (unknown 'exfiltr'
-    matching exfiltration docs), and a mixed query."""
+    path (known tokens, 'spark window merge'), the trigram-fuzzy path
+    (unknown token 'filterz' matching filter-identifier docs via shared
+    trigrams), and a mixed query ('stream sortzz')."""
     from alertsage_spark.query.wand import wand_topk
 
     idx = _code_index_for(spark, sf_dir)

@@ -58,7 +58,9 @@ from alertsage_spark.index.segments import (
     _doclen_row,
     decode_doclen_row,
     load_index,
+    persist_stream_batch_ids,
     salted_termstats_from_segments,
+    stream_committed_batch_ids,
 )
 
 
@@ -221,6 +223,12 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str) -> Segment
         json.dump(config, f)
     if os.path.exists(src.manifest):
         spark.read.parquet(src.manifest).write.mode("overwrite").parquet(paths.manifest)
+    # Carry streaming exactly-once lineage: the merged group has no
+    # per-group batch markers, so the union of the source's markers and
+    # sidecar moves into the destination sidecar — a micro-batch
+    # re-delivered after a stop -> compact -> restart window is still
+    # recognized as committed and skipped (streaming/ingest.py).
+    persist_stream_batch_ids(out_dir, stream_committed_batch_ids(index_dir))
     return load_index(spark, out_dir)
 
 

@@ -82,6 +82,43 @@ _SEG_COLS = [
 # against later appends).
 TOMBSTONE_TERM = "!deleted!"
 
+# Streaming-ingest exactly-once bookkeeping (streaming/ingest.py writes
+# these; merge carries them): each stream-committed group dir holds a
+# STREAM_MARKER with its micro-batch id, and the index root may hold a
+# STREAM_SIDECAR recording batch ids whose groups were since compacted
+# away — merge_segments drops the marker-carrying groups, so without the
+# sidecar a batch re-delivered across a stop->compact->restart window
+# would re-append and double-count docs.
+STREAM_MARKER = "_stream_batch.json"
+STREAM_SIDECAR = "_stream_batches.json"
+
+
+def stream_committed_batch_ids(index_dir: str) -> set[int]:
+    """Micro-batch ids durably ingested: per-group markers UNION the
+    root sidecar (batches whose groups were compacted away)."""
+    import glob as _glob
+
+    out: set[int] = set()
+    side = os.path.join(index_dir, STREAM_SIDECAR)
+    if os.path.exists(side):
+        with open(side) as f:
+            out.update(int(b) for b in json.load(f)["batch_ids"])
+    for p in _glob.glob(os.path.join(index_dir, "segments", "group=*", STREAM_MARKER)):
+        with open(p) as f:
+            out.add(int(json.load(f)["batch_id"]))
+    return out
+
+
+def persist_stream_batch_ids(index_dir: str, ids: set[int]) -> None:
+    """Atomically (temp+rename, same filesystem) write the root sidecar."""
+    if not ids:
+        return
+    side = os.path.join(index_dir, STREAM_SIDECAR)
+    tmp = side + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_ids": sorted(int(b) for b in ids)}, f)
+    os.replace(tmp, side)
+
 # sentinel: "tombstones not computed yet" (None means "none exist")
 _UNSET = object()
 
@@ -704,7 +741,7 @@ class SegmentIndex:
     paths: IndexPaths
     df_map: dict | None = None  # term -> df, set by prepare_for_queries
     dl_map: dict | None = None  # shard_id -> (sorted doc_ids, dls)
-    serving_groups: tuple | None = None  # on-disk group snapshot at prepare time
+    serving_groups: tuple | None = None  # on-disk group snapshot at load/prepare time
 
     def _group_dirs(self) -> tuple:
         import glob as _glob
@@ -714,10 +751,12 @@ class SegmentIndex:
         )
 
     def assert_serving_fresh(self) -> None:
-        """Serving snapshots (df_map/dl_map AND the cached segment file
-        listing) are taken at prepare_for_queries time; an append_group
-        after warm-up would otherwise be silently invisible. Raise
-        loudly instead of answering from a stale snapshot."""
+        """The segments DataFrame pins the concrete group-dir list at
+        load_index time (and df_map/dl_map at prepare_for_queries time);
+        a delete_docs/append_group after EITHER point would otherwise be
+        silently invisible to queries. load_index snapshots the listing,
+        so this fires for unprepared loads too — raise loudly instead of
+        answering from a stale snapshot."""
         if self.serving_groups is None:
             return
         cur = self._group_dirs()
@@ -920,7 +959,7 @@ def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:
     paths = IndexPaths(index_dir)
     with open(paths.stats_json) as f:
         stats = json.load(f)
-    return SegmentIndex(
+    idx = SegmentIndex(
         segments=spark.read.option(
             "basePath", os.path.join(paths.root, "segments")
         ).parquet(*paths.group_dirs()),
@@ -928,3 +967,8 @@ def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:
         stats=stats,
         paths=paths,
     )
+    # The parquet path list above is pinned NOW; snapshot it so any
+    # later on-disk mutation raises at query time rather than serving
+    # stale results (prepare_for_queries re-snapshots identically).
+    idx.serving_groups = idx._group_dirs()
+    return idx

@@ -54,7 +54,15 @@ def _delete_variants(col: Column, max_deletes: int = 2) -> Column:
             ),
         )
     )
-    return F.array_distinct(F.concat(F.array(col), one, two))
+    # Drop empty-string variants: '' would be a single hot join key
+    # connecting EVERY <=2-char term on both sides (skew at production
+    # vocab scale). Completeness for the pairs '' alone would bridge
+    # (both strings <= max_deletes chars, e.g. 'ab' vs 'cd') is restored
+    # by the explicit bounded short×short branch in ``suggest``.
+    return F.filter(
+        F.array_distinct(F.concat(F.array(col), one, two)),
+        lambda v: F.length(v) > 0,
+    )
 
 
 def suggest(
@@ -77,9 +85,20 @@ def suggest(
         "qterm",
         F.explode(_delete_variants(F.col("qterm"))).alias("variant"),
     )
+    # Short×short completeness branch: for a pair with BOTH strings of
+    # length <= max_deletes (e.g. 'ab' vs 'cd', two substitutions) the
+    # only guaranteed common delete-variant is '', which we exclude from
+    # the join keys (skew). The set of such vocab terms is bounded by
+    # alphabet^2, so an explicit broadcast pairing is tiny and skew-free.
+    tiny = (
+        vocab.filter(F.length("term") <= 2)
+        .join(F.broadcast(qterms.filter(F.length("qterm") <= 2)))
+        .select("query_id", "qterm", "term", "df")
+    )
     cand = (
         vvar.join(F.broadcast(qvar), "variant")
         .select("query_id", "qterm", "term", "df")
+        .unionByName(tiny)
         .distinct()
         .withColumn("dist", F.levenshtein("qterm", "term").cast("int"))
         .filter(F.col("dist") <= max_dist)

@@ -486,8 +486,10 @@ def wand_topk(
     shared spec (driver-side tokenize_py on the tiny query set — parity
     with the index-side tokenizer is covered by tests).
     """
-    if index.df_map is not None:
-        index.assert_serving_fresh()
+    # unconditional: load_index pins the parquet group list, so even an
+    # unprepared index silently misses groups appended after load —
+    # raise instead of serving stale results
+    index.assert_serving_fresh()
     mode = index.stats.get("mode", "text")
     queries = list(queries)
     if mode == "code":

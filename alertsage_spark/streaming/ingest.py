@@ -16,7 +16,11 @@ carries a ``_stream_batch.json`` marker with its batch id — a
 re-delivered batch whose id is already committed is skipped before any
 work. The rename IS the commit point; a crash mid-build leaves only an
 invisible staging dir (underscore-prefixed, ignored by the segment
-glob and parquet discovery).
+glob and parquet discovery). Compaction (merge_segments) drops the
+marker-carrying groups but carries their batch ids into a root
+``_stream_batches.json`` sidecar, so the skip survives a
+stop -> compact -> restart window (segments.stream_committed_batch_ids
+reads markers UNION sidecar).
 
 At scale each micro-batch is one bounded build (the batch's docs
 shuffle once on shard_id into n_shards single-shard tasks); group count
@@ -39,26 +43,26 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from alertsage_spark.index.segments import (
+    STREAM_MARKER as _MARKER,
+)
+from alertsage_spark.index.segments import (
     IndexPaths,
     build_segments,
     refresh_stats,
     refresh_stats_incremental,
+    stream_committed_batch_ids,
 )
 
-_MARKER = "_stream_batch.json"
 # written into a group dir only AFTER its stats refresh completed; a
 # committed group missing it marks a crash in the commit->refresh gap
 _STATS_OK = "_stats_ok"
 
 
 def committed_batch_ids(index_dir: str) -> set[int]:
-    """Batch ids already durably appended (marker files inside committed
-    group dirs)."""
-    out = set()
-    for p in _glob.glob(os.path.join(index_dir, "segments", "group=*", _MARKER)):
-        with open(p) as f:
-            out.add(int(json.load(f)["batch_id"]))
-    return out
+    """Batch ids already durably appended: marker files inside committed
+    group dirs UNION the root sidecar that merge_segments carries when
+    it compacts marker-carrying groups away (segments.py)."""
+    return stream_committed_batch_ids(index_dir)
 
 
 def _repair_stats_if_needed(spark: SparkSession, index_dir: str) -> bool:

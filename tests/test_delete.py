@@ -78,6 +78,16 @@ def test_delete_after_prepare_is_detected_stale(spark, built):
         wand_topk(spark, idx, QUERIES, k=5)
 
 
+def test_delete_after_plain_load_is_detected_stale(spark, built):
+    # load_index (WITHOUT prepare_for_queries) pins the parquet group
+    # list too — a later mutation must raise, not serve stale results.
+    d, _corpus = built
+    idx = load_index(spark, d)
+    delete_docs(spark, d, [3])
+    with pytest.raises(RuntimeError, match="stale"):
+        wand_topk(spark, idx, QUERIES, k=5)
+
+
 def test_merge_drops_tombstones_and_refreshes_stats(spark, built, tmp_path):
     d, corpus = built
     n_before = load_index(spark, d).stats["n_docs"]

@@ -100,6 +100,28 @@ def test_fuzzy_matches_brute_force_incl_trigram_blind_pair(spark):
     assert out[("Q2", 3)] == ("abcdef", 2)
 
 
+def test_delete_variants_exclude_empty_string(spark):
+    # '' would be a hot join key pairing every <=2-char term on both
+    # sides; variants must never contain it.
+    for s in ("a", "ab", "abc"):
+        out = spark.range(1).select(
+            _delete_variants(F.lit(s)).alias("v")
+        ).collect()[0].v
+        assert "" not in out, s
+
+
+def test_fuzzy_short_short_pair_still_complete(spark):
+    # 'ab' vs 'cd' (two substitutions, dist 2): the only common delete
+    # variant is '', which is excluded from the join — the bounded
+    # short×short branch must still surface the pair.
+    vocab = spark.createDataFrame(
+        [("cd", 4), ("ab", 9), ("wxyz", 1)], "term string, df long"
+    )
+    qdf = spark.createDataFrame([("Q", "ab")], "query_id string, qterm string")
+    out = {r.suggestion: r.dist for r in suggest(vocab, qdf, max_dist=2).collect()}
+    assert out == {"ab": 0, "cd": 2}
+
+
 def test_fuzzy_rank_prefers_distance_then_df(spark):
     vocab = spark.createDataFrame(
         [("aaab", 1), ("aaac", 50), ("aaaa", 5)], "term string, df long"

@@ -102,6 +102,44 @@ def test_redelivered_batch_is_skipped(spark, tmp_path):
         ingest_batch(spark, docs, 2, idx_dir, n_shards=8)
 
 
+def test_redelivery_skip_survives_compaction(spark, tmp_path):
+    """merge_segments drops the marker-carrying groups; the batch ids
+    must carry into the root sidecar so a batch re-delivered across a
+    stop -> compact -> restart window is still skipped (the ADVICE r3
+    double-count scenario)."""
+    from alertsage_spark.index.merge import merge_segments
+    from alertsage_spark.index.segments import STREAM_SIDECAR
+
+    idx_dir = str(tmp_path / "cidx")
+    merged = str(tmp_path / "cmerged")
+    b1 = zipf_corpus(spark, 200, seed=61)
+    b2 = zipf_corpus(spark, 100, seed=62).selectExpr(
+        "doc_id + 1000 AS doc_id", "text"
+    )
+    assert ingest_batch(spark, b1, 0, idx_dir, n_shards=2)
+    assert ingest_batch(spark, b2, 1, idx_dir, n_shards=2)
+    assert committed_batch_ids(idx_dir) == {0, 1}
+
+    merge_segments(spark, idx_dir, merged)
+    # merged dir has ONE group and no per-group markers, but the sidecar
+    # carries the lineage
+    assert os.path.exists(os.path.join(merged, STREAM_SIDECAR))
+    assert committed_batch_ids(merged) == {0, 1}
+
+    # re-delivered batch 1 against the compacted index: skipped, docs
+    # not double-counted
+    assert ingest_batch(spark, b2, 1, merged, n_shards=2) is False
+    assert load_index(spark, merged).stats["n_docs"] == 300
+
+    # a second compaction keeps carrying the union (sidecar + any new
+    # markers)
+    assert ingest_batch(spark, b2.selectExpr("doc_id + 9000 AS doc_id", "text"),
+                        2, merged, n_shards=2) is True
+    merged2 = str(tmp_path / "cmerged2")
+    merge_segments(spark, merged, merged2)
+    assert committed_batch_ids(merged2) == {0, 1, 2}
+
+
 def test_incremental_stats_match_full_recompute(spark, tmp_path):
     """refresh_stats_incremental (O(vocab+batch)) must produce EXACTLY
     the same stats.json and termstats as the full O(corpus) recompute —
