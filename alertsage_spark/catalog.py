@@ -2738,6 +2738,48 @@ def sim_dup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_encode_oracle_sql(threshold: float = 0.97) -> str:
+    from alertsage_spark.operators.encode import duckdb_encode_cte
+
+    return f"""
+WITH {duckdb_encode_cte("SELECT doc_id, text FROM documents")},
+encpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v),
+               x -> x[1] * x[2])), 5) AS cosine
+  FROM encv a JOIN encv b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cosine FROM encpairs WHERE cosine >= {threshold}
+"""
+
+
+@register("sim_text_encode_dup_pairs", _text_encode_oracle_sql())
+def sim_text_encode_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 closure: RAW TEXT -> deterministic encoder -> production LSH
+    near-dup pipeline, end to end. operators/encode.encode_text (hashed
+    char-3-gram md5 projection, L2-normalized — the model-free stand-in
+    for the reference's query-time encoder, embeddings.py:68-94) feeds
+    embedding_dup_pairs at the production LSH setting (b=16 x t=32).
+    The DuckDB oracle re-implements the ENTIRE encoder in SQL
+    (encode.duckdb_encode_cte) and brute-forces all pairs, so a
+    hash-green row certifies (a) encoder bit-parity across engines and
+    (b) LSH candidate recall 1.0 at threshold 0.97 on this corpus
+    (verified deterministically at sf0.001/0.01/0.1; weakest pair
+    cosine 0.9697 excluded, weakest included 0.9706)."""
+    from alertsage_spark.operators.encode import encode_text
+
+    enc = encode_text(tbl(spark, sf_dir, "documents"))
+    return similarity.embedding_dup_pairs(
+        enc,
+        threshold=0.97,
+        id_col="doc_id",
+        vec_col="vec",
+        n_tables=32,
+        bits_per_table=16,
+        dim=64,
+    ).orderBy("id_a", "id_b")
+
+
 @register("rel_agg_approx_distinct")  # rows-only: HLL is approximate by design
 def rel_agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ sketch aggregation (approx_count_distinct, the

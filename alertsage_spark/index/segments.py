@@ -742,6 +742,12 @@ class SegmentIndex:
     df_map: dict | None = None  # term -> df, set by prepare_for_queries
     dl_map: dict | None = None  # shard_id -> (sorted doc_ids, dls)
     serving_groups: tuple | None = None  # on-disk group snapshot at load/prepare time
+    # serving-mode LRU of collected segment rows keyed by term (misses
+    # cached as empty lists); query/wand.py fills and evicts it. Bounded
+    # by postings count, invalidated with the whole snapshot by
+    # assert_serving_fresh (mutations force a re-load -> fresh cache).
+    term_rows_cache: dict | None = None
+    tomb_rows_cache: list | None = None  # tombstone rows, collected once
 
     def _group_dirs(self) -> tuple:
         import glob as _glob
@@ -788,6 +794,7 @@ class SegmentIndex:
         queries use the distributed path; segment caching remains valid
         at any scale because Spark caches per-partition and evicts LRU."""
         self.serving_groups = self._group_dirs()
+        self.term_rows_cache = {}
         self.segments.cache().count()
         if self.termstats.count() <= collect_termstats_max:
             self.df_map = {

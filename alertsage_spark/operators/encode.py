@@ -1,0 +1,150 @@
+"""Deterministic text -> vector encoder (SURVEY §2.9 M2).
+
+The reference encodes free text into dense vectors at query/ingest time
+with a sentence-transformer (/root/reference/src/triage/embeddings.py:
+68-94) and L2-normalizes so dot == cosine (:87-94). This engine keeps
+the model itself out of the hot path (SURVEY), but the API hole — "I
+have raw text, I want the similarity/dedup stack" — is closed by a
+model-free stand-in with the same contract: a hashed character-n-gram
+projection.
+
+    vec[b] = sum over char n-grams g of sign(g),  b = bucket(g)
+    bucket(g) = int(md5(g)[:2], 16) % dim
+    sign(g)   = +1 if md5(g)[2] < '8' else -1
+    output    = vec / ||vec||_2   (zero vector stays zero)
+
+This is the classic hashing-trick / feature-hashing encoder (Weinberger
+et al. 2009, public): deterministic, vocabulary-free, and — because the
+hash is md5-hex — EXACTLY replicable in ANSI SQL, so the whole
+text -> encode -> near-dup pipeline is DuckDB-oracle-checkable
+(catalog.sim_text_encode_dup_pairs). Bucket counts are integers and the
+norm is the sqrt of an integer, so every float op downstream of the
+counts is elementwise and bit-identical across engines.
+
+Execution shape: one Arrow-batched mapInPandas pass; md5 is computed
+once per DISTINCT n-gram per batch (a dict memo — n-gram vocabulary is
+bounded by charset^n), so the per-row work is a numpy scatter-add. At
+100 TB this is the same embarrassingly-parallel shape as the real
+encoder kernel it stands in for: no shuffle, no state, batch in ->
+batch out; swapping in a model is changing the kernel body only.
+"""
+
+from __future__ import annotations
+
+import math
+from hashlib import md5
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DIM = 64
+NGRAM = 3
+
+
+def _bucket_sign(g: str, dim: int) -> tuple[int, int]:
+    h = md5(g.encode("utf-8")).hexdigest()
+    return (int(h[0], 16) * 16 + int(h[1], 16)) % dim, (1 if h[2] < "8" else -1)
+
+
+def encode_py(text: str, dim: int = DIM, n: int = NGRAM) -> list[float]:
+    """Single-string reference implementation (test oracle twin)."""
+    s = (text or "").lower()
+    counts = np.zeros(dim, dtype=np.int64)
+    for i in range(len(s) - n + 1):
+        b, sg = _bucket_sign(s[i : i + n], dim)
+        counts[b] += sg
+    nrm = math.sqrt(float(np.dot(counts, counts)))
+    v = counts.astype(np.float64)
+    return (v / nrm).tolist() if nrm > 0 else v.tolist()
+
+
+def encode_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DIM,
+    n: int = NGRAM,
+    out_col: str = "vec",
+) -> DataFrame:
+    """(id, text) -> (id, vec array<double>), L2-normalized hashed
+    char-n-gram profile. Column-pruned input, Arrow-batched kernel."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, int]] = {}
+
+        def bs(g: str) -> tuple[int, int]:
+            v = memo.get(g)
+            if v is None:
+                memo[g] = v = _bucket_sign(g, dim)
+            return v
+
+        for pdf in it:
+            vecs = []
+            for t in pdf[text_col]:
+                s = (t or "").lower()
+                counts = np.zeros(dim, dtype=np.int64)
+                for i in range(len(s) - n + 1):
+                    b, sg = bs(s[i : i + n])
+                    counts[b] += sg
+                nrm = math.sqrt(float(np.dot(counts, counts)))
+                v = counts.astype(np.float64)
+                vecs.append((v / nrm).tolist() if nrm > 0 else v.tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: vecs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, {out_col} array<double>"
+    )
+
+
+def duckdb_encode_cte(
+    source_sql: str,
+    dim: int = DIM,
+    n: int = NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB CTE chain replicating encode_text exactly: md5 bucket/sign
+    per char n-gram, integer bucket counts, L2 normalization. Emits CTEs
+    ending in ``encv`` with columns (id_col, v list<double>) — rows with
+    a zero vector keep it (cosine consumers must filter)."""
+    return f"""
+encsrc AS (SELECT {id_col}, lower({text_col}) AS s FROM ({source_sql})),
+encgrams AS (
+  SELECT {id_col}, substr(s, CAST(i AS INTEGER), {n}) AS g
+  FROM encsrc, unnest(range(1, length(s) - {n} + 2)) AS t(i)
+),
+enchash AS (
+  SELECT {id_col},
+         ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) % {dim} AS b,
+         CASE WHEN substr(md5(g), 3, 1) < '8' THEN 1 ELSE -1 END AS sgn
+  FROM encgrams
+),
+encbuckets AS (
+  SELECT {id_col}, b, CAST(sum(sgn) AS BIGINT) AS c
+  FROM enchash GROUP BY {id_col}, b
+),
+encbc AS (
+  SELECT {id_col}, list(struct_pack(b := b, c := c)) AS bc
+  FROM encbuckets GROUP BY {id_col}
+),
+encdense AS (
+  SELECT s.{id_col},
+         list_transform(range(0, {dim}), i -> CAST(coalesce(
+             list_sum(list_transform(list_filter(coalesce(e.bc, []),
+                                                 p -> p.b = i),
+                                     p -> p.c)), 0) AS DOUBLE)) AS u
+  FROM encsrc s LEFT JOIN encbc e USING ({id_col})
+),
+encnorm AS (
+  SELECT {id_col}, u, sqrt(list_sum(list_transform(u, x -> x * x))) AS nrm
+  FROM encdense
+),
+encv AS (
+  SELECT {id_col},
+         CASE WHEN nrm > 0 THEN list_transform(u, x -> x / nrm) ELSE u END AS v
+  FROM encnorm
+)"""

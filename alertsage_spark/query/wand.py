@@ -342,18 +342,16 @@ def _local_topk(
     arrays, and materialize the (<= k x queries)-row result. Exactness
     is identical by construction — same kernels, same tie-break."""
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
-    seg_rows = index.segments.filter(
-        F.col("term").isin(all_terms) | (F.col("term") == TOMBSTONE_TERM)
-    ).collect()
+    term_rows, tomb_rows = _cached_term_rows(index, all_terms)
     by_shard_term: dict[int, dict[str, list]] = {}
+    for t, rows_t in term_rows.items():
+        for r in rows_t:
+            by_shard_term.setdefault(int(r["shard_id"]), {}).setdefault(
+                t, []
+            ).append(r)
     tomb_by_shard: dict[int, list] = {}
-    for r in seg_rows:
-        if r["term"] == TOMBSTONE_TERM:
-            tomb_by_shard.setdefault(int(r["shard_id"]), []).append(r)
-            continue
-        by_shard_term.setdefault(int(r["shard_id"]), {}).setdefault(
-            r["term"], []
-        ).append(r)
+    for r in tomb_rows:
+        tomb_by_shard.setdefault(int(r["shard_id"]), []).append(r)
     del_by_shard = {
         sid: np.unique(np.concatenate([decode_doclen_row(r)[0] for r in rs]))
         for sid, rs in tomb_by_shard.items()
@@ -403,6 +401,62 @@ def _local_topk(
 # more than this many postings to the driver would cost more than the
 # distributed job it avoids)
 FAST_PATH_MAX_POSTINGS = 2_000_000
+
+# serving LRU budget: total encoded postings held in the driver's
+# term-row cache (compressed rows, ~1.5 B/posting -> ~12 MB at the cap).
+# Evicting by postings rather than term count keeps the bound meaningful
+# under mixed rare/hot terms.
+TERM_CACHE_MAX_POSTINGS = 8_000_000
+
+
+def _cached_term_rows(
+    index: SegmentIndex, all_terms: list[str]
+) -> tuple[dict[str, list], list]:
+    """Serving-mode LRU over collected segment rows, keyed by term.
+    Every fast-path query previously re-collected its matched rows from
+    the cached DataFrame — a per-query JVM->driver transfer that was the
+    fast path's latency ceiling (r3 verdict). Now only terms absent from
+    the cache (misses cached as [] too) pay a collect; tombstone rows
+    are collected once per snapshot. Staleness is inherited from the
+    serving snapshot: any on-disk mutation raises in wand_topk before
+    this cache is consulted."""
+    cache = index.term_rows_cache
+    if cache is None:
+        cache = index.term_rows_cache = {}
+    missing = [t for t in all_terms if t not in cache]
+    need_tomb = index.tomb_rows_cache is None
+    if missing or need_tomb:
+        cond = F.col("term").isin(missing) if missing else F.lit(False)
+        if need_tomb:
+            cond = cond | (F.col("term") == TOMBSTONE_TERM)
+        fetched: dict[str, list] = {t: [] for t in missing}
+        tombs: list = []
+        for r in index.segments.filter(cond).collect():
+            if r["term"] == TOMBSTONE_TERM:
+                tombs.append(r)
+            else:
+                fetched[r["term"]].append(r)
+        if need_tomb:
+            index.tomb_rows_cache = tombs
+        for t in missing:
+            cache[t] = fetched[t]
+        # LRU eviction by total postings (dict preserves insertion order;
+        # hits below reinsert to mark recency)
+        total = sum(
+            int(r["n_postings"]) for rows_t in cache.values() for r in rows_t
+        )
+        while total > TERM_CACHE_MAX_POSTINGS and len(cache) > len(all_terms):
+            victim = next(iter(cache))
+            if victim in all_terms:  # keep this query's working set
+                cache[victim] = cache.pop(victim)
+                continue
+            total -= sum(int(r["n_postings"]) for r in cache.pop(victim))
+    out: dict[str, list] = {}
+    for t in all_terms:
+        rows_t = cache.pop(t)  # reinsert = LRU touch
+        cache[t] = rows_t
+        out[t] = rows_t
+    return out, index.tomb_rows_cache or []
 
 # which path served each wand_topk call — bench reads this so a latency
 # regression is diagnosable (fast-path miss vs slow fast-path)

@@ -114,3 +114,46 @@ def test_fast_path_identical_to_distributed(spark, seg_index, doc_oracle):
         expected = doc_oracle.topk(text, k=K)
         hits = fast.get(qid, [])
         assert [h[0] for h in hits] == [e[0] for e in expected], qid
+
+
+def test_fast_path_repeat_query_serves_from_term_cache(spark, seg_index):
+    """Second identical query must not touch the JVM at all for postings:
+    the serving LRU (term_rows_cache) holds the collected rows, so the
+    fast path works even if the segments DataFrame is unusable."""
+    from alertsage_spark.index.segments import load_index
+
+    prepared = load_index(spark, str(seg_index.paths.root)).prepare_for_queries()
+    q = [("R1", "data stream merge join window")]
+    first = _collect(wand_topk(spark, prepared, q, k=K, algo="auto"))
+    assert first
+
+    class _Poison:
+        def filter(self, *_a, **_k):
+            raise AssertionError("repeat query hit the JVM for postings")
+
+    real_segments = prepared.segments
+    prepared.segments = _Poison()
+    try:
+        second = _collect(wand_topk(spark, prepared, q, k=K, algo="auto"))
+    finally:
+        prepared.segments = real_segments
+    assert second == first
+
+
+def test_term_cache_lru_evicts_by_postings_budget(spark, seg_index):
+    import alertsage_spark.query.wand as W
+    from alertsage_spark.index.segments import load_index
+
+    prepared = load_index(spark, str(seg_index.paths.root)).prepare_for_queries()
+    wand_topk(spark, prepared, [("A", "data stream merge")], k=K)
+    assert prepared.term_rows_cache
+    old_cap = W.TERM_CACHE_MAX_POSTINGS
+    W.TERM_CACHE_MAX_POSTINGS = 0  # force eviction of everything non-current
+    try:
+        wand_topk(spark, prepared, [("B", "window join")], k=K)
+        from alertsage_spark.tokenizer import tokenize_py
+
+        keep = set(tokenize_py("window join", mode="text"))
+        assert set(prepared.term_rows_cache) <= keep
+    finally:
+        W.TERM_CACHE_MAX_POSTINGS = old_cap
