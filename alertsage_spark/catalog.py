@@ -663,18 +663,49 @@ def sim_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_extract_features")  # rows-only: synthetic media, stub decoder
+@register(
+    "mm_extract_features",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 24 AS w,
+         8 + (doc_id * 7) % 16 AS h
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 192),
+px AS (
+  SELECT media_id, w, h, xx.x AS x, yy.y AS y, cc.c AS c,
+         (media_id * 3 + xx.x * 7 + yy.y * 11 + cc.c * 13) % 256 AS p
+  FROM m,
+       unnest(range(0, w)) AS xx(x),
+       unnest(range(0, h)) AS yy(y),
+       unnest(range(0, 3)) AS cc(c))
+SELECT media_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       sum(CASE WHEN c = 0 THEN p ELSE 0 END) / CAST(max(w) * max(h) AS DOUBLE) AS mean_r,
+       sum(CASE WHEN c = 1 THEN p ELSE 0 END) / CAST(max(w) * max(h) AS DOUBLE) AS mean_g,
+       sum(CASE WHEN c = 2 THEN p ELSE 0 END) / CAST(max(w) * max(h) AS DOUBLE) AS mean_b,
+       CAST(sum(p * (1 + x + y * w + c * w * h)) AS BIGINT) AS checksum
+FROM px GROUP BY media_id
+""",
+)
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary blobs -> Arrow-batched feature
-    extraction (deterministic fake decoder; real codecs stubbed).
-
-    The feature vector is serialized to a JSON string for the driver's
-    canonicalizer (it sorts result columns; a raw array<float> cell is
-    unhashable in pandas)."""
+    """Multimodal decode, now REAL end-to-end: closed-form pixels ->
+    pure-stdlib PNG ENCODE (filter-cycling, operators/png.py) -> binary
+    column through Arrow -> real PNG DECODE (all five filter types) ->
+    per-image stats. The DuckDB oracle computes the same stats directly
+    from the closed-form pixel function p(x,y,c) without touching PNG,
+    so a hash-green row proves the decoder reconstructs every pixel of
+    every filter type exactly (means are integer-sum/one-divide and the
+    checksum is position-weighted — any transposition or filter bug
+    diverges). Codec independently cross-validated against Java ImageIO
+    in tests/test_multimodal.py."""
     from alertsage_spark.operators import multimodal as mm
 
-    out = mm.extract_features(mm.synth_media(spark, n=64), decoder=mm.fake_decode)
-    return out.withColumn("feature", F.to_json("feature"))
+    ids = tbl(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 192)
+    )
+    return mm.decode_image_stats(mm.synth_png_corpus(ids)).orderBy("media_id")
 
 
 @register(

@@ -40,14 +40,23 @@ FEATURE_SCHEMA = (
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the real decode kernels: codec libs absent in this
-    environment. Substitute `fake_decode` (deterministic) in tests."""
+    """Raised by the real decode kernels for codecs with no library in
+    this environment. Substitute `fake_decode` (deterministic) in tests."""
 
 
-def real_decode(data: bytes, codec: str) -> np.ndarray:  # pragma: no cover
+def real_decode(data: bytes, codec: str) -> np.ndarray:
+    """REAL decode for PNG (pure-stdlib codec, operators/png.py —
+    spec-compliant: cross-validated against Java ImageIO in
+    tests/test_multimodal.py) returning the (H, W, C) uint8 pixel
+    array; audio/video codecs remain honestly unavailable (no av lib
+    in this environment — install av and extend this kernel)."""
+    if codec == "png":
+        from alertsage_spark.operators.png import decode_png
+
+        return decode_png(data)
     raise DecoderUnavailable(
         f"no codec library available for {codec!r} in this environment; "
-        "install pillow/av and swap this kernel"
+        "install av and extend this kernel"
     )
 
 
@@ -59,24 +68,41 @@ def fake_decode(data: bytes, codec: str) -> np.ndarray:
     ) / 255.0
 
 
+def img_dims(media_id: int) -> tuple[int, int]:
+    """Closed-form synthetic image dimensions (width, height) — shared
+    by the Spark synthesizer and the DuckDB ground-truth oracle."""
+    return 8 + media_id % 24, 8 + (media_id * 7) % 16
+
+
+def img_pixels(media_id: int) -> np.ndarray:
+    """Closed-form synthetic RGB pixels, uint8 (H, W, 3):
+    p(x, y, c) = (media_id*3 + x*7 + y*11 + c*13) % 256 — expressible in
+    ANSI SQL, so decoded-pixel statistics have an exact oracle."""
+    w, h = img_dims(media_id)
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((media_id * 3 + x * 7 + y * 11 + c * 13) % 256).astype(np.uint8)
+
+
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-binary media table (no external data)."""
+    """Deterministic media table (no external data). Image rows carry
+    REAL PNG blobs (filter-cycling encoder) with metadata matching the
+    actual encoded dimensions; audio/video remain opaque stand-ins."""
+    from alertsage_spark.operators.png import encode_png
+
     rows = []
     kinds = [("image", "png"), ("audio", "wav"), ("video", "mkv")]
     for i in range(n):
         kind, codec = kinds[i % 3]
-        blob = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
-        rows.append(
-            (
-                i,
-                kind,
-                codec,
-                64 * (1 + i % 4),
-                64 * (1 + i % 3),
-                1000 * (i % 7),
-                bytearray(blob),
-            )
-        )
+        if kind == "image":
+            px = img_pixels(i)
+            blob = encode_png(px, filter_mode="cycle")
+            w, h = px.shape[1], px.shape[0]
+        else:
+            blob = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+            w, h = 64 * (1 + i % 4), 64 * (1 + i % 3)
+        rows.append((i, kind, codec, w, h, 1000 * (i % 7), bytearray(blob)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -99,7 +125,16 @@ def extract_features(
                     sizes.append(len(b))
                     hashes.append(hashlib.sha256(b).hexdigest())
                     try:
-                        feats.append(decoder(b, codec).tolist())
+                        arr = decoder(b, codec)
+                        if arr.ndim >= 2:
+                            # pixel decode -> compact stat features
+                            h, w = arr.shape[0], arr.shape[1]
+                            ch = arr.shape[2] if arr.ndim == 3 else 1
+                            means = arr.reshape(h * w, ch).mean(axis=0)
+                            arr = np.concatenate(
+                                [[float(h), float(w), float(ch)], means]
+                            ).astype(np.float32)
+                        feats.append(arr.tolist())
                         oks.append(True)
                     except DecoderUnavailable:
                         feats.append(None)
@@ -116,6 +151,72 @@ def extract_features(
 
     return media.select("media_id", "codec", "data").mapInPandas(
         kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def synth_png_corpus(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (media_id, data binary): one real PNG per id with
+    closed-form pixels (img_pixels) and the filter-CYCLING encoder, so a
+    downstream decode exercises every PNG filter type. The blob column
+    materializes through Arrow — the same binary-column path ingest
+    would use."""
+    from alertsage_spark.operators.png import encode_png
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "data": [
+                        encode_png(img_pixels(int(m)), filter_mode="cycle")
+                        for m in mids
+                    ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(kernel, schema="media_id long, data binary")
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL decode -> per-image statistics, all exactly computable by a
+    SQL oracle from the closed-form pixel function: dimensions, exact
+    per-channel means (integer sums -> one float divide), and a
+    position-weighted integer checksum sum(p * (1 + x + y*W + c*W*H))
+    that catches any transposition/filter-reconstruction bug."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "width": [], "height": [], "channels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                arr = real_decode(bytes(blob), "png").astype(np.int64)
+                h, w, ch = arr.shape
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(ch)[None, None, :]
+                weight = 1 + x + y * w + c * w * h
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                # integer sum -> ONE float divide: bit-identical to the
+                # SQL oracle with no rounding (Python round is
+                # half-even, DuckDB round is half-away — a .5 boundary
+                # would diverge, so don't round at all)
+                for k, cc in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                    out[k].append(float(arr[:, :, cc].sum()) / (w * h))
+                out["checksum"].append(int((arr * weight).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "mean_r double, mean_g double, mean_b double, checksum long"
+        ),
     )
 
 

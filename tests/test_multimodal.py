@@ -1,13 +1,17 @@
 """Multimodal plumbing: binary columns + metadata + Arrow-batched decode
-kernels (decode itself stubbed — libs absent in this container)."""
+kernels. PNG decode is REAL (pure-stdlib codec, operators/png.py);
+audio/video remain honestly stubbed (no codec libs in this container)."""
 
 from __future__ import annotations
 
 import hashlib
+import os
 
+import numpy as np
 import pytest
 
 from alertsage_spark.operators import multimodal as mm
+from alertsage_spark.operators.png import decode_png, encode_png
 
 
 @pytest.fixture(scope="module")
@@ -25,20 +29,70 @@ def test_schema_and_binary_roundtrip(media):
     }
 
 
-def test_real_decoder_is_stubbed():
+def test_png_roundtrip_all_filters_all_colour_types():
+    rng = np.random.RandomState(3)
+    for shape in [(1, 1, 1), (5, 7, 3), (16, 16, 4), (9, 2, 3), (2, 33, 1)]:
+        a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for mode in ("none", "cycle"):
+            assert np.array_equal(decode_png(encode_png(a, mode)), a), (shape, mode)
+
+
+def test_png_rejects_corruption():
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = bytearray(encode_png(a))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope" + bytes(b))
+    b[20] ^= 0xFF  # flip a byte inside IHDR -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(b))
+
+
+def test_png_cross_validated_against_jvm_imageio(spark, tmp_path):
+    """Independent spec check: Java ImageIO (Spark's `image` source)
+    must decode our filter-cycling PNGs to the same pixels (ImageSchema
+    is BGR row-major)."""
+    rng = np.random.RandomState(7)
+    arrs = {}
+    for i, shape in enumerate([(5, 7, 3), (16, 9, 3), (3, 3, 3)]):
+        a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        arrs[f"im{i}.png"] = a
+        (tmp_path / f"im{i}.png").write_bytes(encode_png(a, "cycle"))
+    rows = spark.read.format("image").load(str(tmp_path)).select("image.*").collect()
+    assert len(rows) == len(arrs)
+    for r in rows:
+        a = arrs[os.path.basename(r.origin)]
+        got = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+            r.height, r.width, r.nChannels
+        )
+        assert (r.height, r.width) == a.shape[:2]
+        assert np.array_equal(got, a[:, :, ::-1])  # BGR
+
+
+def test_real_decode_png_and_stub_for_others(media):
+    img = media.filter("kind = 'image'").orderBy("media_id").first()
+    arr = mm.real_decode(bytes(img["data"]), "png")
+    assert arr.shape == (img["height"], img["width"], 3)
+    assert np.array_equal(arr, mm.img_pixels(img["media_id"]))
     with pytest.raises(mm.DecoderUnavailable):
-        mm.real_decode(b"xx", "png")
+        mm.real_decode(b"xx", "wav")
 
 
-def test_extract_features_with_stub_marks_failures(media):
+def test_extract_features_real_decoder_mixed_outcomes(media):
+    """PNG rows decode for real (stat features); wav/mkv rows are marked
+    failed; hashes/sizes computed regardless."""
     out = mm.extract_features(media, decoder=mm.real_decode).collect()
     assert len(out) == 64
-    assert all(not r["decode_ok"] and r["feature"] is None for r in out)
-    # hashes/sizes computed regardless of decoder availability
     by_id = {r["media_id"]: r for r in media.collect()}
     for r in out:
-        assert r["sha256"] == hashlib.sha256(bytes(by_id[r["media_id"]]["data"])).hexdigest()
-        assert r["n_bytes"] == len(bytes(by_id[r["media_id"]]["data"]))
+        src = by_id[r["media_id"]]
+        assert r["sha256"] == hashlib.sha256(bytes(src["data"])).hexdigest()
+        assert r["n_bytes"] == len(bytes(src["data"]))
+        if src["kind"] == "image":
+            assert r["decode_ok"]
+            h, w, ch = r["feature"][0], r["feature"][1], r["feature"][2]
+            assert (h, w, ch) == (src["height"], src["width"], 3)
+        else:
+            assert not r["decode_ok"] and r["feature"] is None
 
 
 def test_extract_features_fake_decoder(media):
@@ -47,13 +101,31 @@ def test_extract_features_fake_decoder(media):
     for r in out:
         assert len(r["feature"]) == 8
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
-    # deterministic: same blob -> same feature
     a = {r["media_id"]: tuple(r["feature"]) for r in out}
     b = {
         r["media_id"]: tuple(r["feature"])
         for r in mm.extract_features(media, decoder=mm.fake_decode).collect()
     }
     assert a == b
+
+
+def test_decode_image_stats_matches_closed_form(spark):
+    ids = spark.range(0, 30, 3).selectExpr("id AS doc_id")
+    got = {
+        r["media_id"]: r
+        for r in mm.decode_image_stats(mm.synth_png_corpus(ids)).collect()
+    }
+    assert len(got) == 10
+    for mid, r in got.items():
+        px = mm.img_pixels(mid).astype(np.int64)
+        h, w, _ = px.shape
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        for k, c in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+            assert r[k] == float(px[:, :, c].sum()) / (w * h)
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        assert r["checksum"] == int((px * (1 + x + y * w + c * w * h)).sum())
 
 
 def test_metadata_filter_prunes_before_decode(media, spark):
