@@ -406,16 +406,21 @@ def connected_components(
     real dedup pipelines run after pair detection, so each cluster can
     keep one survivor.
 
-    Scale shape: each iteration is one equi-join + one min-agg, both
-    keyed on node id (narrow, skew-free — dup clusters are small, so a
-    node's degree is bounded); iterations needed = max component
-    diameter, which for near-dup clusters is a handful. Lineage is cut
-    with localCheckpoint per iteration so the plan doesn't grow
-    unboundedly. Deterministic: labels converge to the component's MIN
-    id regardless of execution order. (The alternating large-star/
-    small-star contraction of Kiveris et al. drops the diameter bound
-    to O(log n) for adversarial chain graphs; min-propagation is the
-    right trade for bounded dup clusters.)
+    Scale shape: each iteration is (1) one neighbor-min join+agg keyed
+    on node id and (2) one POINTER-JUMPING join (label <- label(label),
+    the Shiloach-Vishkin shortcutting step — public algorithm, same
+    O(log diameter) round bound as Kiveris et al.'s large-star/
+    small-star), so an adversarial length-n dup chain converges in
+    O(log n) iterations instead of n (pinned by
+    tests/test_dedup.py::test_components_chain_converges_in_log_rounds).
+    Both joins are narrow and skew-free (dup clusters are small, node
+    degree bounded). Lineage is cut with localCheckpoint per iteration
+    so the plan doesn't grow unboundedly. Deterministic: labels
+    converge to the component's MIN id regardless of execution order;
+    the invariant label(u) <= u makes label-of-label monotone.
+
+    The executed iteration count of the latest call is recorded on
+    ``connected_components.last_iterations`` (bench/test telemetry).
 
     Returns (doc_id, component_id) for every node that appears in at
     least one pair; singleton documents are implicitly their own
@@ -439,12 +444,25 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("label").alias("nbr_min"))
             )
+            prop = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jumping: label <- label(label). Every label is a
+            # node id (labels only ever take min over existing ids), so
+            # the self-join resolves; the left join + coalesce keeps
+            # roots (label == node) unchanged.
+            lofl = prop.select(
+                F.col("node").alias("label"), F.col("label").alias("ll")
+            )
             new_labels = (
-                labels.join(nbr, labels["node"] == nbr["a"], "left")
+                prop.join(lofl, "label", "left")
                 .select(
                     "node",
                     F.least(
-                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                        F.col("label"), F.coalesce("ll", F.col("label"))
                     ).alias("label"),
                 )
                 .localCheckpoint()
@@ -457,6 +475,7 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                connected_components.last_iterations = _i + 1
                 break
         else:
             raise RuntimeError(

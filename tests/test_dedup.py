@@ -155,3 +155,24 @@ def test_connected_components_nonconvergence_raises(spark):
         for r in connected_components(chain, max_iter=20).collect()
     }
     assert set(ok.values()) == {0} and len(ok) == 9
+
+
+def test_components_chain_converges_in_log_rounds(spark):
+    """Adversarial worst case for plain min-propagation: one length-n
+    chain (diameter n-1). Pointer jumping must converge in O(log n)
+    iterations, and every node must still land on the component min."""
+    import math
+
+    from alertsage_spark.operators.dedup import connected_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {r["doc_id"]: r["component_id"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(n)}
+    iters = connected_components.last_iterations
+    # propagate+jump: distance-to-root shrinks ~geometrically; allow a
+    # small constant over log2(n) but far below the linear n-1 bound
+    assert iters <= 2 * int(math.log2(n)) + 4, iters
