@@ -2811,6 +2811,220 @@ def sim_text_encode_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# --- ANN recall certification (r4): measured recall@k as ORACLE rows ---
+
+# fixed query rows (exist at every SF: vec_id 0..499 always present)
+_ANN_QIDS = [7, 42, 123, 333, 444]
+# deterministic IVF centroids: sampled corpus rows (no Lloyd iterations
+# — pyspark.ml KMeans init depends on partitioning, so it cannot be
+# SQL-replicated; the sampled-centroid quantizer exercises the same
+# assign/probe/score mechanics deterministically)
+_IVF_CENT_IDS = [31 * i for i in range(16)]
+
+_ANN_EMB_CTE = """
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT vec_id AS qid, v AS qvec FROM emb WHERE vec_id IN ({qids}))
+"""
+
+_ANN_RECALL_TAIL = """
+annscore AS (
+  SELECT c.qid, c.vec_id,
+         round(list_sum(list_transform(list_zip(e.v, q.qvec),
+               x -> x[1] * x[2])), 5) AS score
+  FROM cand c JOIN emb e USING (vec_id) JOIN qv q USING (qid)
+),
+anntop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+    FROM annscore) WHERE rn <= {k}
+),
+exscore AS (
+  SELECT q.qid, e.vec_id,
+         round(list_sum(list_transform(list_zip(e.v, q.qvec),
+               x -> x[1] * x[2])), 5) AS score
+  FROM emb e, qv q
+),
+extop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+    FROM exscore) WHERE rn <= {k}
+)
+SELECT e.qid AS query_vec_id,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       CAST(count(a.vec_id) AS DOUBLE) / {k} AS recall
+FROM extop e LEFT JOIN anntop a USING (qid, vec_id)
+GROUP BY e.qid
+"""
+
+
+def _ann_lsh_recall_oracle_sql(k: int = 10) -> str:
+    """The oracle REPLICATES sign-LSH candidate generation: the seeded
+    plane matrix is embedded as double literals (repr round-trips
+    exactly through DECIMAL -> DOUBLE), signatures are recomputed in
+    SQL, and recall@k is measured against the exact top-k. Sign safety:
+    min |plane . v| over every (vector, plane) at sf0.001/0.01/0.1 is
+    4.3e-6 — ten orders above summation-order noise, so numpy matmul
+    (Spark side) and sequential list_sum (SQL side) agree on every
+    sign bit."""
+    planes = similarity.plane_matrix(64, 8, 4, 42)
+    rows = ",\n    ".join(
+        "({}, list_transform([{}], x -> CAST(x AS DOUBLE)))".format(
+            r, ", ".join(repr(float(x)) for x in planes[r])
+        )
+        for r in range(planes.shape[0])
+    )
+    qids = ", ".join(str(q) for q in _ANN_QIDS)
+    return (
+        "WITH "
+        + _ANN_EMB_CTE.format(qids=qids)
+        + f""",
+planes AS (SELECT * FROM (VALUES
+    {rows}) AS t(r, p)),
+sig AS (
+  SELECT e.vec_id, CAST(pl.r // 4 AS INTEGER) AS tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pl.p, e.v),
+                        x -> x[1] * x[2])) > 0
+                  THEN (1 << (pl.r % 4)) ELSE 0 END) AS BIGINT) AS s
+  FROM emb e, planes pl
+  GROUP BY e.vec_id, pl.r // 4
+),
+qsig AS (SELECT vec_id AS qid, tbl, s FROM sig WHERE vec_id IN ({qids})),
+cand AS (
+  SELECT DISTINCT q.qid, s.vec_id
+  FROM qsig q JOIN sig s ON s.tbl = q.tbl AND s.s = q.s
+),
+"""
+        + _ANN_RECALL_TAIL.format(k=k)
+    )
+
+
+def _ann_ivf_recall_oracle_sql(k: int = 10, n_probe: int = 4) -> str:
+    cmap = ", ".join(f"({i}, {cid})" for i, cid in enumerate(_IVF_CENT_IDS))
+    qids = ", ".join(str(q) for q in _ANN_QIDS)
+    return (
+        "WITH "
+        + _ANN_EMB_CTE.format(qids=qids)
+        + f""",
+cmap AS (SELECT * FROM (VALUES {cmap}) AS t(ci, cvid)),
+cents AS (SELECT c.ci, e.v AS cv FROM cmap c JOIN emb e ON e.vec_id = c.cvid),
+adots AS (
+  SELECT e.vec_id, c.ci,
+         list_sum(list_transform(list_zip(c.cv, e.v), x -> x[1] * x[2])) AS d
+  FROM emb e, cents c
+),
+assign AS (
+  SELECT vec_id, ci AS ivf_list FROM (
+    SELECT vec_id, ci, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d DESC, ci ASC) AS rn
+    FROM adots) WHERE rn = 1
+),
+probe AS (
+  SELECT qid, ci FROM (
+    SELECT q.qid, c.ci, row_number() OVER (PARTITION BY q.qid ORDER BY
+        list_sum(list_transform(list_zip(c.cv, q.qvec),
+                 x -> x[1] * x[2])) DESC, c.ci ASC) AS rn
+    FROM qv q, cents c) WHERE rn <= {n_probe}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a ON a.ivf_list = p.ci),
+"""
+        + _ANN_RECALL_TAIL.format(k=k)
+    )
+
+
+def _seqdot(a, b) -> float:
+    """Sequential left-to-right double dot product — the same
+    accumulation order as DuckDB list_sum and Spark dot_col."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _ann_recall_df(spark: SparkSession, results: list) -> DataFrame:
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(results, columns=["query_vec_id", "hits", "recall"]),
+        "query_vec_id long, hits long, recall double",
+    )
+
+
+@register("sim_ann_lsh_recall", _ann_lsh_recall_oracle_sql())
+def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@10 of the sign-LSH ANN index vs the exact
+    brute-force top-10, as a driver-hash-certified number (r3 verdict
+    task: the rows-only ANN entries claimed recall without a driver
+    check). The oracle recomputes signatures from the same plane
+    literals, regenerates the candidate set in SQL, and measures the
+    same recall — a hash match certifies the WHOLE approximate path:
+    planes, packing, bucket collision, candidate scoring, tie-break,
+    and the resulting recall figure."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qrows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(_ANN_QIDS)).collect()
+    }
+    sigdf = similarity.with_lsh_signatures(emb, 8, 4, 42, dim=64).cache()
+    out = []
+    try:
+        for qid in _ANN_QIDS:
+            qvec = qrows[qid]
+            ann = similarity.lsh_ann_topk(emb, qvec, k=10, signatures=sigdf)
+            exact = similarity.cosine_topk(emb, qvec, k=10)
+            hits = (
+                exact.select("vec_id")
+                .join(ann.select("vec_id"), "vec_id", "left_semi")
+                .count()
+            )
+            out.append((qid, hits, hits / 10.0))
+    finally:
+        sigdf.unpersist()
+    return _ann_recall_df(spark, out)
+
+
+@register("sim_ann_ivf_recall", _ann_ivf_recall_oracle_sql())
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@10 of the IVF index (deterministic sampled-row
+    coarse quantizer, similarity.ivf_assign_expr; 16 lists, 4 probed)
+    vs exact top-10. Assignment and probing are pure element-order
+    arithmetic on both engines, so the hash match certifies argmax
+    assignment, probe selection, candidate scoring and the measured
+    recall. (The KMeans-quantized variant stays rows-only —
+    pyspark.ml init is partitioning-dependent and cannot be
+    SQL-replicated; mechanics certified here are identical.)"""
+    emb = tbl(spark, sf_dir, "embeddings")
+    need = set(_ANN_QIDS) | set(_IVF_CENT_IDS)
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(list(need))).collect()
+    }
+    cents = [vecs[cid] for cid in _IVF_CENT_IDS]
+    assigned = similarity.ivf_assign_expr(emb, cents).cache()
+    out = []
+    try:
+        for qid in _ANN_QIDS:
+            qvec = vecs[qid]
+            cdots = [(-_seqdot(cv, qvec), ci) for ci, cv in enumerate(cents)]
+            probe = [ci for _d, ci in sorted(cdots)[:4]]
+            cand = assigned.filter(F.col("ivf_list").isin(probe))
+            ann = similarity.cosine_topk(cand, qvec, k=10)
+            exact = similarity.cosine_topk(emb, qvec, k=10)
+            hits = (
+                exact.select("vec_id")
+                .join(ann.select("vec_id"), "vec_id", "left_semi")
+                .count()
+            )
+            out.append((qid, hits, hits / 10.0))
+    finally:
+        assigned.unpersist()
+    return _ann_recall_df(spark, out)
+
+
 @register("rel_agg_approx_distinct")  # rows-only: HLL is approximate by design
 def rel_agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ sketch aggregation (approx_count_distinct, the

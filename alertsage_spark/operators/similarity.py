@@ -325,6 +325,35 @@ def ivf_ann_topk(
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_assign_expr(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment against LITERAL centroids via pure JVM
+    higher-order expressions: argmax of the per-centroid dot products
+    (== argmin L2 for normalized vectors), first-index tie-break.
+
+    This is the deterministic coarse-quantizer variant (centroids =
+    sampled corpus rows, no Lloyd refinement): unlike pyspark.ml KMeans
+    (whose init sampling depends on partitioning), the assignment is a
+    pure function of (vector, centroids), and because dot_col
+    accumulates in element order it is bit-identical to a SQL
+    list_sum replica — which is what lets catalog.sim_ann_ivf_recall
+    hash-certify the IVF probe/assign/score mechanics against DuckDB.
+    """
+    dots = F.array(
+        *[
+            dot_col(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+            for cv in centroids
+        ]
+    )
+    return embeddings.withColumn(
+        "ivf_list", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+
 def cosine_dup_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.90,
