@@ -55,11 +55,21 @@ def register(name: str, sql: str | None = None):
 # simple aggs/windows — driver-green in r01 AND r02) rotate to the
 # back; they remain covered by tests/test_catalog_oracle.py.
 _DRIVER_WINDOW: list[str] = [
-    # -- oracled, never driver-checked (added in round 2) --
-    "ft_clean_text", "ft_sanitize_text", "ft_lenient_json",
-    "ft_siem_patterns", "ft_keyword_gate", "ft_extract_iocs",
-    "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
-    "ft_normalize_label", "ft_hallucinated_iocs", "ft_build_invariants",
+    # -- round-3 late additions: oracled + locally green but NEVER had a
+    # driver row (they landed after the r3 window was pinned) --
+    "ft_search_facets", "ft_bm25f_topk", "ft_query_language",
+    "ft_term_autocomplete", "ft_bm25_lsm_relview",
+    # -- new this round (all oracled; never driver-checked) --
+    "sim_text_encode_dup_pairs", "mm_extract_features",
+    "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
+    # -- re-certify entries whose engine paths changed this round:
+    # fuzzy (empty-variant skew fix + short-pair branch), connected
+    # components (pointer jumping), streaming ingest (batch-id sidecar),
+    # code serving (term-row LRU) --
+    "ft_fuzzy_suggest", "dedup_components", "dedup_survivors",
+    "ft_stream_ingest_bm25", "ft_bm25_code_topk",
+    # -- r3-green entries retained for ongoing coverage --
+    "ft_hallucinated_iocs", "ft_build_invariants",
     "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
     "rel_json_extract", "rel_date_arith", "rel_topk_most_common",
     "rel_regexp_extract", "rel_topk_offset", "rel_comment_filter",
@@ -67,21 +77,16 @@ _DRIVER_WINDOW: list[str] = [
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
     "rel_sessionize", "stream_time_window", "stream_sessionize",
     "io_jsonl_roundtrip", "io_csv_roundtrip",
-    # -- new this round (all oracled; rows-only ml_hybrid_features /
-    # sim_ann_ivf_topk / rel_agg_approx_distinct rotate behind the
-    # window to make room — an oracled row is stronger evidence than a
-    # rows-only run; they stay pytest-covered) --
-    "sim_dup_pairs_prod", "ft_bm25_code_topk", "ft_stream_ingest_bm25",
-    "ft_phrase_search", "dedup_components", "dedup_survivors",
+    "sim_dup_pairs_prod", "ft_phrase_search",
     "pipe_decontaminate", "pipe_split_train_val", "pipe_repetition_filter",
-    "ft_boolean_search", "ft_fuzzy_suggest", "ft_snippet_topdocs",
+    "ft_boolean_search", "ft_snippet_topdocs",
     "ft_substring_search", "ft_prefix_search",
     # -- keep-set: flagship entries that must stay driver-verified.
-    # ft_fingerprint/ft_corpus_stats/ft_term_df_top20/dedup_exact_stats/
-    # sim_cosine_topk/mm_frame_sample_plan/dedup_jaccard_verified/
-    # sim_dup_pairs_exact rotated behind the window (all driver-green
-    # in r02, still local-oracle-checked) to make room for this round's
-    # oracled additions. --
+    # Rotated out for r4 (ALL r3-driver-green, still locally
+    # oracle-checked by tests/test_catalog_oracle.py): ft_clean_text,
+    # ft_sanitize_text, ft_lenient_json, ft_siem_patterns,
+    # ft_keyword_gate, ft_extract_iocs, ft_mitre_ids, ft_risk_score,
+    # ft_uncertainty_band, ft_normalize_label. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 ]
@@ -238,6 +243,72 @@ def ft_taat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _segment_index_for(spark, sf_dir)
     qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
     return wand_topk(spark, index, qs, k=10, algo="taat").withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# post-edit corpus for the LSM lifecycle entry: docs with id % 50 == 0
+# deleted, re-derived twins (id + 1e6) of docs with id % 7 == 0 appended
+_LSM_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _lsm_lifecycle_oracle_sql(k: int = 10) -> str:
+    """The flagship BM25 oracle, retargeted at the POST-EDIT corpus —
+    the fresh-build ground truth that the delete -> append -> merge
+    index must be rank-identical to."""
+    sql = _bm25_oracle_sql(k)
+    sql = sql.replace("AS t FROM documents)", "AS t FROM lsm_corpus)", 1)
+    return sql.replace("WITH ", f"WITH lsm_corpus AS ({_LSM_CORPUS_SQL}),\n", 1)
+
+
+@register("ft_lsm_delete_merge", _lsm_lifecycle_oracle_sql(10))
+def ft_lsm_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL LSM lifecycle under the driver hash (r3 verdict task):
+    build -> delete_docs (tombstone group) -> append_group (new docs) ->
+    merge_segments (drops tombstoned postings/doclens, recomputes
+    stats) -> WAND top-10 on the merged index. The oracle is the
+    flagship BM25 SQL over the post-edit corpus built FRESH, so a green
+    row certifies that the mutate-then-compact path is rank- and
+    score-identical to never having had the deleted docs at all
+    (tests/test_delete.py pins the same property locally)."""
+    import tempfile
+
+    from alertsage_spark.index.merge import merge_segments
+    from alertsage_spark.index.segments import (
+        append_group,
+        build_segments,
+        delete_docs,
+        load_index,
+    )
+    from alertsage_spark.query.wand import wand_topk
+
+    key = f"lsm:{sf_dir}"
+    if key not in _SEG_INDEX_CACHE:
+        docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+        d = tempfile.mkdtemp(prefix="catalog_lsm_")
+        build_segments(spark, docs, d, n_shards=8, n_groups=1, resume=False)
+        victims = [
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 50 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        delete_docs(spark, d, victims)
+        b = tempfile.mkdtemp(prefix="catalog_lsmb_")
+        appended = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        build_segments(spark, appended, b, n_shards=8, n_groups=1, resume=False)
+        append_group(spark, d, b)
+        m = tempfile.mkdtemp(prefix="catalog_lsmm_") + "/merged"
+        merge_segments(spark, d, m)
+        _SEG_INDEX_CACHE[key] = load_index(spark, m).prepare_for_queries()
+    qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
+    return wand_topk(spark, _SEG_INDEX_CACHE[key], qs, k=10, algo="auto").withColumn(
         "rank", F.col("rank").cast("int")
     )
 

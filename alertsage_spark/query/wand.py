@@ -459,14 +459,18 @@ def _cached_term_rows(
     return out, index.tomb_rows_cache or []
 
 # which path served each wand_topk call — bench reads this so a latency
-# regression is diagnosable (fast-path miss vs slow fast-path)
-SERVING_COUNTERS = {"fast_path": 0, "distributed": 0}
+# regression is diagnosable (fast-path miss vs slow fast-path).
+# probe_ns accumulates the staleness-guard cost (a per-query group-dir
+# listing, assert_serving_fresh) so the bench can show whether the
+# freshness check is latency-relevant (r3 verdict task 8).
+SERVING_COUNTERS = {"fast_path": 0, "distributed": 0, "probe_ns": 0}
 
 
 def reset_serving_counters() -> dict:
     prev = dict(SERVING_COUNTERS)
     SERVING_COUNTERS["fast_path"] = 0
     SERVING_COUNTERS["distributed"] = 0
+    SERVING_COUNTERS["probe_ns"] = 0
     return prev
 
 
@@ -543,7 +547,11 @@ def wand_topk(
     # unconditional: load_index pins the parquet group list, so even an
     # unprepared index silently misses groups appended after load —
     # raise instead of serving stale results
+    import time as _time
+
+    _t0 = _time.perf_counter_ns()
     index.assert_serving_fresh()
+    SERVING_COUNTERS["probe_ns"] += _time.perf_counter_ns() - _t0
     mode = index.stats.get("mode", "text")
     queries = list(queries)
     if mode == "code":

@@ -183,6 +183,12 @@ def main() -> None:
     counters = wand_mod.reset_serving_counters()
     extra["single_fast_path_hits"] = counters["fast_path"]
     extra["single_distributed"] = counters["distributed"]
+    # staleness-guard cost (per-query group-dir listing): if this ever
+    # becomes a visible share of p50, swap the glob for an mtime probe
+    n_calls = counters["fast_path"] + counters["distributed"]
+    extra["staleness_probe_ms_per_query"] = round(
+        counters["probe_ns"] / 1e6 / max(n_calls, 1), 4
+    )
     seg_index.segments.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark.catalog.clearCache()

@@ -1,7 +1,7 @@
 """The driver's CORRECTNESS harness verifies exactly the FIRST 50
-entries of __spark_entry__.queries() (observed r01/r02). These tests pin
-the explicit window ordering in catalog._DRIVER_WINDOW so a future
-registration can't silently displace an entry out of driver
+entries of __spark_entry__.queries() (observed r01/r02/r03). These
+tests pin the explicit window ordering in catalog._DRIVER_WINDOW so a
+future registration can't silently displace an entry out of driver
 verification again (the round-2 failure mode: 35 new entries landed at
 positions 51-85 and got no driver row)."""
 
@@ -9,41 +9,43 @@ from alertsage_spark import catalog
 
 DRIVER_WINDOW_SIZE = 50
 
-# Oracled entries that had no driver row in either r01 or r02 — these
-# MUST sit inside the window until a CORRECTNESS_r0x gives them a green
-# row (then they may rotate out like the rel_filter_* basics did).
+# Oracled entries that have never had a driver row — these MUST sit
+# inside the window until a CORRECTNESS_r0x gives them a green row
+# (then they may rotate out like the rel_filter_* basics did).
+# r4 composition: the five round-3 late additions + the five round-4
+# additions.
 NEVER_DRIVER_CHECKED = {
-    "ft_clean_text", "ft_sanitize_text", "ft_lenient_json",
-    "ft_siem_patterns", "ft_keyword_gate", "ft_extract_iocs",
-    "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
-    "ft_normalize_label", "ft_hallucinated_iocs", "ft_build_invariants",
-    "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
-    "rel_json_extract", "rel_date_arith", "rel_topk_most_common",
-    "rel_regexp_extract", "rel_topk_offset", "rel_comment_filter",
-    "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
-    "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
-    "rel_sessionize", "stream_time_window", "stream_sessionize",
-    "io_jsonl_roundtrip", "io_csv_roundtrip", "sim_dup_pairs_prod",
-    "ft_bm25_code_topk", "ft_stream_ingest_bm25",
-    # round-3 oracled additions — no driver row before r03
-    "ft_phrase_search", "dedup_components", "dedup_survivors",
-    "pipe_decontaminate", "pipe_split_train_val", "pipe_repetition_filter",
-    "ft_boolean_search", "ft_fuzzy_suggest", "ft_snippet_topdocs",
-    "ft_substring_search", "ft_prefix_search",
+    # round-3 late additions (registered behind the r3 window)
+    "ft_search_facets", "ft_bm25f_topk", "ft_query_language",
+    "ft_term_autocomplete", "ft_bm25_lsm_relview",
+    # round-4 additions
+    "sim_text_encode_dup_pairs", "mm_extract_features",
+    "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
 }
 
-# Oracled round-3 entries registered BEHIND the window (no room left
-# without evicting a never-driver-checked entry) — rotate these in next
-# round once CORRECTNESS_r03 lands green rows for the current window:
-PENDING_NEXT_WINDOW = {
-    "ft_search_facets", "ft_bm25f_topk", "ft_term_autocomplete",
-    "ft_query_language", "ft_bm25_lsm_relview",
+# Entries whose ENGINE PATHS changed in round 4 — keep them in the
+# window this round so the driver re-certifies the changed code:
+# fuzzy empty-variant fix, pointer-jumping components, streaming
+# batch-id sidecar, serving term-row LRU.
+RECERTIFY_THIS_ROUND = {
+    "ft_fuzzy_suggest", "dedup_components", "dedup_survivors",
+    "ft_stream_ingest_bm25", "ft_bm25_code_topk",
 }
 
 # Flagship entries that must never leave the window (baseline targets).
 MUST_KEEP = {
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
+}
+
+# Oracled entries currently rotated OUT (driver-green in r3, still
+# locally replicated by tests/test_catalog_oracle.py). Nothing may be
+# rotated out without a prior green driver row.
+ROTATED_OUT_R4 = {
+    "ft_clean_text", "ft_sanitize_text", "ft_lenient_json",
+    "ft_siem_patterns", "ft_keyword_gate", "ft_extract_iocs",
+    "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
+    "ft_normalize_label",
 }
 
 
@@ -58,11 +60,30 @@ def test_window_has_no_duplicates():
     assert len(w) == len(set(w))
 
 
+def test_window_is_exactly_50():
+    assert len(catalog._DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
+
+
 def test_first_50_cover_unverified_and_flagships():
     first = list(catalog.queries())[:DRIVER_WINDOW_SIZE]
     fset = set(first)
     assert NEVER_DRIVER_CHECKED <= fset, sorted(NEVER_DRIVER_CHECKED - fset)
+    assert RECERTIFY_THIS_ROUND <= fset, sorted(RECERTIFY_THIS_ROUND - fset)
     assert MUST_KEEP <= fset, sorted(MUST_KEEP - fset)
+
+
+def test_rotated_out_entries_still_registered_and_oracled():
+    q, o = catalog.queries(), catalog.oracle_sql()
+    for name in ROTATED_OUT_R4:
+        assert name in q and name in o, name
+
+
+def test_window_entries_are_all_oracled():
+    """r3 established the invariant: every driver-window slot carries a
+    DuckDB oracle (an oracled row is stronger evidence than rows-only)."""
+    o = catalog.oracle_sql()
+    missing = [n for n in catalog._DRIVER_WINDOW if n not in o]
+    assert not missing, missing
 
 
 def test_oracle_order_follows_queries_order():
