@@ -54,15 +54,18 @@ def _delete_variants(col: Column, max_deletes: int = 2) -> Column:
             ),
         )
     )
-    # Drop empty-string variants: '' would be a single hot join key
-    # connecting EVERY <=2-char term on both sides (skew at production
-    # vocab scale). Completeness for the pairs '' alone would bridge
-    # (both strings <= max_deletes chars, e.g. 'ab' vs 'cd') is restored
-    # by the explicit bounded short×short branch in ``suggest``.
-    return F.filter(
-        F.array_distinct(F.concat(F.array(col), one, two)),
-        lambda v: F.length(v) > 0,
-    )
+    # The empty-string variant is kept ONLY for sources short enough to
+    # need it (len <= max_deletes: for a pair like 'ab' vs 'cd', '' is
+    # the only guaranteed common delete-variant). Longer strings never
+    # reach '' anyway, so the '' join-key population is bounded by the
+    # token alphabet (<= |alphabet|^2 + |alphabet| distinct vocab terms
+    # of length <= 2), independent of vocabulary size — a bounded
+    # bucket, not a skew risk. All other zero-length variants are
+    # filtered so '' can never become a vocab-scale hot key.
+    variants = F.array_distinct(F.concat(F.array(col), one, two))
+    return F.when(
+        F.length(col) <= max_deletes, variants
+    ).otherwise(F.filter(variants, lambda v: F.length(v) > 0))
 
 
 def suggest(
@@ -85,20 +88,9 @@ def suggest(
         "qterm",
         F.explode(_delete_variants(F.col("qterm"))).alias("variant"),
     )
-    # Short×short completeness branch: for a pair with BOTH strings of
-    # length <= max_deletes (e.g. 'ab' vs 'cd', two substitutions) the
-    # only guaranteed common delete-variant is '', which we exclude from
-    # the join keys (skew). The set of such vocab terms is bounded by
-    # alphabet^2, so an explicit broadcast pairing is tiny and skew-free.
-    tiny = (
-        vocab.filter(F.length("term") <= 2)
-        .join(F.broadcast(qterms.filter(F.length("qterm") <= 2)))
-        .select("query_id", "qterm", "term", "df")
-    )
     cand = (
         vvar.join(F.broadcast(qvar), "variant")
         .select("query_id", "qterm", "term", "df")
-        .unionByName(tiny)
         .distinct()
         .withColumn("dist", F.levenshtein("qterm", "term").cast("int"))
         .filter(F.col("dist") <= max_dist)

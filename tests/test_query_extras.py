@@ -100,20 +100,23 @@ def test_fuzzy_matches_brute_force_incl_trigram_blind_pair(spark):
     assert out[("Q2", 3)] == ("abcdef", 2)
 
 
-def test_delete_variants_exclude_empty_string(spark):
-    # '' would be a hot join key pairing every <=2-char term on both
-    # sides; variants must never contain it.
-    for s in ("a", "ab", "abc"):
+def test_delete_variants_empty_only_for_short_sources(spark):
+    # '' is needed for completeness only when the source itself is
+    # <= max_deletes chars ('ab' vs 'cd' share only ''); longer sources
+    # must never emit it, keeping the '' join-key population bounded by
+    # the alphabet instead of the vocabulary.
+    for s, want_empty in (("a", True), ("ab", True), ("abc", False),
+                          ("abcd", False)):
         out = spark.range(1).select(
             _delete_variants(F.lit(s)).alias("v")
         ).collect()[0].v
-        assert "" not in out, s
+        assert ("" in out) == want_empty, s
 
 
 def test_fuzzy_short_short_pair_still_complete(spark):
     # 'ab' vs 'cd' (two substitutions, dist 2): the only common delete
-    # variant is '', which is excluded from the join — the bounded
-    # short×short branch must still surface the pair.
+    # variant is '' — retained for short sources, so the pair must
+    # surface through the ordinary variant equi-join.
     vocab = spark.createDataFrame(
         [("cd", 4), ("ab", 9), ("wxyz", 1)], "term string, df long"
     )
