@@ -62,6 +62,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- new this round (all oracled; never driver-checked) --
     "sim_text_encode_dup_pairs", "mm_extract_features",
     "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
+    "ft_boolean_lsm", "ft_substring_lsm",
     # -- re-certify entries whose engine paths changed this round:
     # fuzzy (empty-variant skew fix + short-pair branch), connected
     # components (pointer jumping), streaming ingest (batch-id sidecar),
@@ -72,7 +73,7 @@ _DRIVER_WINDOW: list[str] = [
     "ft_hallucinated_iocs", "ft_build_invariants",
     "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
     "rel_json_extract", "rel_date_arith", "rel_topk_most_common",
-    "rel_regexp_extract", "rel_topk_offset", "rel_comment_filter",
+    "rel_comment_filter",
     "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
     "rel_sessionize", "stream_time_window", "stream_sessionize",
@@ -86,7 +87,8 @@ _DRIVER_WINDOW: list[str] = [
     # oracle-checked by tests/test_catalog_oracle.py): ft_clean_text,
     # ft_sanitize_text, ft_lenient_json, ft_siem_patterns,
     # ft_keyword_gate, ft_extract_iocs, ft_mitre_ids, ft_risk_score,
-    # ft_uncertainty_band, ft_normalize_label. --
+    # ft_uncertainty_band, ft_normalize_label, rel_regexp_extract,
+    # rel_topk_offset. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 ]
@@ -3617,3 +3619,45 @@ def ft_bm25_lsm_relview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(index, queries_df(spark), k=10).withColumn(
         "rank", F.col("rank").cast("int")
     )
+
+
+@register("ft_boolean_lsm", _boolean_oracle_sql(10))
+def ft_boolean_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval running ON THE PRODUCTION LSM INDEX: the same
+    must/should/must_not + BM25 operator as ft_boolean_search, but its
+    postings come from the compressed segments through
+    SegmentIndex.as_inverted_index() sliced to the clause terms — no
+    second index build. Shares ft_boolean_search's oracle, so the hash
+    match certifies the whole query surface composes with the LSM store
+    (decode, merge-rule dedup, tombstone mask, stats)."""
+    from alertsage_spark.query.boolean import boolean_topk, clauses_df
+
+    seg = _segment_index_for(spark, sf_dir)
+    terms = sorted(
+        {t for _q, roles in _BOOL_QUERIES for ts in roles.values() for t in ts}
+    )
+    return boolean_topk(
+        seg.as_inverted_index(terms=terms), clauses_df(spark, _BOOL_QUERIES), k=10
+    )
+
+
+@register("ft_substring_lsm", _pattern_oracle_sql(_SUBSTR_QUERIES, "contains"))
+def ft_substring_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram substring search ON THE PRODUCTION CODE-MODE LSM INDEX:
+    pattern_search fed by the compressed segments' relational view,
+    sliced to exactly the terms the patterns can touch: the pattern as
+    an exact token + the PATTERN-trigram rule '#'+p[i:i+3] (NOT the
+    token-trigram rule — a 3-char pattern emits no token trigrams but
+    its single pattern trigram is still a live posting term). Same
+    brute-force oracle as ft_substring_search: the hash match certifies
+    candidate completeness holds on the decoded production postings
+    too."""
+    from alertsage_spark.query.substring import pattern_search, pattern_slice_terms
+
+    seg = _code_index_for(spark, sf_dir)
+    terms = pattern_slice_terms([p for _q, p in _SUBSTR_QUERIES])
+    inv = seg.as_inverted_index(terms=terms)
+    pats = spark.createDataFrame(_SUBSTR_QUERIES, "query_id string, pattern string")
+    return pattern_search(
+        inv, tbl(spark, sf_dir, "documents"), pats, match="contains"
+    ).orderBy("query_id", "doc_id")

@@ -42,6 +42,26 @@ from alertsage_spark.tokenizer import token_trigrams_col, tokenize_col
 MIN_PATTERN_LEN = 3
 
 
+def pattern_slice_terms(patterns: list[str]) -> list[str]:
+    """The exact posting-term slice a pattern_search over ``patterns``
+    can touch: each pattern as an exact token plus its PATTERN trigrams
+    '#'+p[i:i+3]. Use for SegmentIndex.as_inverted_index(terms=...) so
+    only the needed posting lists are decoded. NOTE: this is the
+    pattern-trigram rule, not the token-trigram rule — a 3-char pattern
+    emits no token trigrams (TRIGRAM_MIN_LEN=4) but its one pattern
+    trigram is still a live posting term the search must read."""
+    from alertsage_spark.tokenizer import TRIGRAM_PREFIX
+
+    return sorted(
+        set(patterns)
+        | {
+            TRIGRAM_PREFIX + p[i : i + 3]
+            for p in patterns
+            for i in range(len(p) - 2)
+        }
+    )
+
+
 def _pattern_trigrams(col):
     # |P| >= 3 guaranteed -> sequence stop >= start (Spark sequence
     # DESCENDS for stop < start rather than returning empty). The

@@ -324,3 +324,42 @@ def test_snippet_ranks_per_term_not_per_query(spark):
         by_term.setdefault(r.term, []).append((r.rank, r.doc_id, r.n_occ))
     assert sorted(by_term["alpha"]) == [(1, 1, 4), (2, 2, 3)]
     assert sorted(by_term["beta"]) == [(1, 3, 1)]  # not evicted by alpha
+
+
+def test_pattern_slice_terms_covers_short_patterns():
+    """The slice rule must include the pattern trigram even when the
+    pattern is exactly 3 chars (tokenize_py emits no token trigrams
+    below TRIGRAM_MIN_LEN=4 — the bug class a tokenizer-derived slice
+    hits)."""
+    from alertsage_spark.query.substring import pattern_slice_terms
+
+    assert pattern_slice_terms(["dow"]) == ["#dow", "dow"]
+    assert pattern_slice_terms(["usto"]) == ["#sto", "#ust", "usto"]
+
+
+def test_pattern_search_on_sliced_segment_view(spark, code_docs, tmp_path):
+    """pattern_search over a compressed segment index's relational view
+    sliced by pattern_slice_terms must equal the full relational-index
+    result (candidate completeness on the LSM path)."""
+    from alertsage_spark.index.segments import build_segments, load_index
+    from alertsage_spark.query.substring import pattern_search, pattern_slice_terms
+
+    d = str(tmp_path / "cidx")
+    build_segments(spark, code_docs, d, n_shards=2, n_groups=1, mode="code")
+    seg = load_index(spark, d)
+    pats = spark.createDataFrame(
+        [("Q1", "fig"), ("Q2", "config")], "query_id string, pattern string"
+    )
+    inv = seg.as_inverted_index(terms=pattern_slice_terms(["fig", "config"]))
+    got = sorted(
+        (r.query_id, r.doc_id, r.n_tokens)
+        for r in pattern_search(inv, code_docs, pats, match="contains").collect()
+    )
+    from alertsage_spark.index.build import build_index
+
+    full = build_index(code_docs, mode="code")
+    want = sorted(
+        (r.query_id, r.doc_id, r.n_tokens)
+        for r in pattern_search(full, code_docs, pats, match="contains").collect()
+    )
+    assert got == want and got
