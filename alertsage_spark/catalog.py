@@ -62,7 +62,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- new this round (all oracled; never driver-checked) --
     "sim_text_encode_dup_pairs", "mm_extract_features",
     "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
-    "ft_boolean_lsm", "ft_substring_lsm",
+    "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
     # -- re-certify entries whose engine paths changed this round:
     # fuzzy (empty-variant skew fix + short-pair branch), connected
     # components (pointer jumping), streaming ingest (batch-id sidecar),
@@ -72,7 +72,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- r3-green entries retained for ongoing coverage --
     "ft_hallucinated_iocs", "ft_build_invariants",
     "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
-    "rel_json_extract", "rel_date_arith", "rel_topk_most_common",
+    "rel_json_extract", "rel_date_arith",
     "rel_comment_filter",
     "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
@@ -88,7 +88,7 @@ _DRIVER_WINDOW: list[str] = [
     # ft_sanitize_text, ft_lenient_json, ft_siem_patterns,
     # ft_keyword_gate, ft_extract_iocs, ft_mitre_ids, ft_risk_score,
     # ft_uncertainty_band, ft_normalize_label, rel_regexp_extract,
-    # rel_topk_offset. --
+    # rel_topk_offset, rel_topk_most_common. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 ]
@@ -779,6 +779,46 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 192)
     )
     return mm.decode_image_stats(mm.synth_png_corpus(ids)).orderBy("media_id")
+
+
+@register(
+    "mm_resize_stats",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 24 AS w,
+         8 + (doc_id * 7) % 16 AS h
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 192),
+rp AS (
+  SELECT media_id, xx.x AS x, yy.y AS y, cc.c AS c,
+         (media_id * 3 + ((xx.x * w) // 16) * 7
+          + ((yy.y * h) // 12) * 11 + cc.c * 13) % 256 AS p
+  FROM m,
+       unnest(range(0, 16)) AS xx(x),
+       unnest(range(0, 12)) AS yy(y),
+       unnest(range(0, 3)) AS cc(c))
+SELECT media_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(12 AS INTEGER) AS height,
+       sum(CASE WHEN c = 0 THEN p ELSE 0 END) / CAST(16 * 12 AS DOUBLE) AS mean_r,
+       sum(CASE WHEN c = 1 THEN p ELSE 0 END) / CAST(16 * 12 AS DOUBLE) AS mean_g,
+       sum(CASE WHEN c = 2 THEN p ELSE 0 END) / CAST(16 * 12 AS DOUBLE) AS mean_b,
+       CAST(sum(p * (1 + x + y * 16 + c * 16 * 12)) AS BIGINT) AS checksum
+FROM rp GROUP BY media_id
+""",
+)
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as a first-class kernel (decode -> nearest-neighbour
+    resample to 16x12 -> stats), hash-matched against a SQL oracle that
+    resamples the closed-form pixel function with the same integer
+    source mapping (dst*src)//out — certifying the resize grid exactly,
+    not just approximately."""
+    from alertsage_spark.operators import multimodal as mm
+
+    ids = tbl(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 192)
+    )
+    return mm.resize_image_stats(mm.synth_png_corpus(ids), 16, 12).orderBy("media_id")
 
 
 @register(

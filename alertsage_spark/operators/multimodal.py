@@ -220,6 +220,50 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_image_stats(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL decode -> nearest-neighbour RESIZE -> per-image stats.
+
+    The resize uses pure integer source mapping
+    ``src = (dst * src_dim) // dst_dim`` so the resized pixel grid — and
+    therefore the stats — is exactly computable by a SQL oracle from
+    the closed-form pixel function (catalog.mm_resize_stats). The same
+    kernel shape (decode + numpy fancy-indexing per Arrow batch) is the
+    production resize path; swapping in area/bilinear filtering changes
+    only the kernel body."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                arr = real_decode(bytes(blob), "png").astype(np.int64)
+                h, w, ch = arr.shape
+                src_y = (np.arange(out_h) * h) // out_h
+                src_x = (np.arange(out_w) * w) // out_w
+                r = arr[src_y[:, None], src_x[None, :], :]  # (out_h, out_w, ch)
+                x = np.arange(out_w)[None, :, None]
+                y = np.arange(out_h)[:, None, None]
+                c = np.arange(ch)[None, None, :]
+                weight = 1 + x + y * out_w + c * out_w * out_h
+                out["media_id"].append(int(mid))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                for k, cc in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                    out[k].append(float(r[:, :, cc].sum()) / (out_w * out_h))
+                out["checksum"].append(int((r * weight).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double, checksum long"
+        ),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plumbing: one output row per planned frame
     timestamp (pure Spark expressions — the actual frame grab would be a

@@ -144,3 +144,25 @@ def test_frame_sample_plan(media):
     vids = {r["media_id"] for r in rows}
     kinds = {r["media_id"]: r["kind"] for r in media.collect()}
     assert all(kinds[v] == "video" for v in vids)
+
+
+def test_resize_image_stats_matches_manual_resample(spark):
+    ids = spark.range(0, 30, 3).selectExpr("id AS doc_id")
+    got = {
+        r["media_id"]: r
+        for r in mm.resize_image_stats(mm.synth_png_corpus(ids), 16, 12).collect()
+    }
+    assert len(got) == 10
+    for mid, r in got.items():
+        px = mm.img_pixels(mid).astype(np.int64)
+        h, w, _ = px.shape
+        sy = (np.arange(12) * h) // 12
+        sx = (np.arange(16) * w) // 16
+        rs = px[sy[:, None], sx[None, :], :]
+        assert (r["width"], r["height"]) == (16, 12)
+        for k, c in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+            assert r[k] == float(rs[:, :, c].sum()) / (16 * 12)
+        x = np.arange(16)[None, :, None]
+        y = np.arange(12)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        assert r["checksum"] == int((rs * (1 + x + y * 16 + c * 16 * 12)).sum())
