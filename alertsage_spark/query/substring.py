@@ -98,6 +98,15 @@ def pattern_search(
     if bad:
         raise ValueError(f"pattern too short or contains spaces: {bad[0].pattern!r}")
 
+    # Prefilter postings to the exact term slice the patterns can touch:
+    # a broadcast JOIN alone does not prune the postings scan, so
+    # without this every query batch reads the whole postings relation
+    # (measured 2x full scans per call at sf0.1; at corpus scale the
+    # IN-filter is the difference between a metadata-pruned read and a
+    # table scan). The pattern set is query-side tiny by construction.
+    plist = [r["pattern"] for r in patterns.select("pattern").distinct().collect()]
+    postings = index.postings.filter(F.col("term").isin(pattern_slice_terms(plist)))
+
     ptri = patterns.select(
         "query_id",
         "pattern",
@@ -108,7 +117,7 @@ def pattern_search(
     )
     cand_tri = (
         F.broadcast(ptri)
-        .join(index.postings, "term")
+        .join(postings, "term")
         .groupBy("query_id", "pattern", "doc_id")
         .agg(F.count_distinct("term").alias("hit_tri"))
         .join(F.broadcast(n_tri), ["query_id", "pattern"])
@@ -117,7 +126,7 @@ def pattern_search(
     )
     cand_exact = (
         F.broadcast(patterns.withColumn("term", F.col("pattern")))
-        .join(index.postings, "term")
+        .join(postings, "term")
         .select("query_id", "pattern", "doc_id")
     )
     cands = cand_tri.unionByName(cand_exact).distinct()
