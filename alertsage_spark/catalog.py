@@ -64,9 +64,10 @@ _DRIVER_WINDOW: list[str] = [
     "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
     "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
     # -- re-certify entries whose engine paths changed this round:
-    # fuzzy (empty-variant skew fix + short-pair branch), connected
-    # components (pointer jumping), streaming ingest (batch-id sidecar),
-    # code serving (term-row LRU) --
+    # fuzzy (r3-advisory '' analysis — resolved as bounded-by-alphabet,
+    # no code change needed in the end), connected components (pointer
+    # jumping), streaming ingest (batch-id sidecar), code serving
+    # (term-row LRU) --
     "ft_fuzzy_suggest", "dedup_components", "dedup_survivors",
     "ft_stream_ingest_bm25", "ft_bm25_code_topk",
     # -- r3-green entries retained for ongoing coverage --

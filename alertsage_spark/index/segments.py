@@ -110,10 +110,18 @@ def stream_committed_batch_ids(index_dir: str) -> set[int]:
 
 
 def persist_stream_batch_ids(index_dir: str, ids: set[int]) -> None:
-    """Atomically (temp+rename, same filesystem) write the root sidecar."""
-    if not ids:
-        return
+    """Atomically (temp+rename, same filesystem) write the root sidecar.
+    An EMPTY id set removes any pre-existing sidecar: merge destinations
+    are rewritten with overwrite semantics, so a stale sidecar from a
+    previous index at the same path must not survive and falsely claim
+    stream batches as committed (that would silently DROP re-used batch
+    ids on a later streaming sink — the inverse of the double-count bug
+    the sidecar prevents)."""
     side = os.path.join(index_dir, STREAM_SIDECAR)
+    if not ids:
+        if os.path.exists(side):
+            os.remove(side)
+        return
     tmp = side + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"batch_ids": sorted(int(b) for b in ids)}, f)
@@ -768,10 +776,11 @@ class SegmentIndex:
         cur = self._group_dirs()
         if cur != self.serving_groups:
             raise RuntimeError(
-                "SegmentIndex serving snapshot is stale: segment groups "
-                "changed on disk since prepare_for_queries() "
+                "SegmentIndex snapshot is stale: segment groups changed "
+                "on disk after this index was loaded "
                 f"({len(self.serving_groups)} -> {len(cur)} groups). "
-                "Re-run load_index(...).prepare_for_queries()."
+                "Re-run load_index(...) (plus prepare_for_queries() for "
+                "serving mode)."
             )
 
     @property

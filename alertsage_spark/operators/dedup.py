@@ -474,8 +474,10 @@ def connected_components(
                 .count()
             )
             labels = new_labels
+            # unconditional: the telemetry must reflect THIS call even
+            # when the loop exhausts max_iter and raises below
+            connected_components.last_iterations = _i + 1
             if changed == 0:
-                connected_components.last_iterations = _i + 1
                 break
         else:
             raise RuntimeError(
@@ -488,6 +490,12 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+# telemetry: executed iteration count of the most recent call in this
+# process (None before any call; updated every iteration, so it is
+# accurate even when the call raises on non-convergence)
+connected_components.last_iterations = None
 
 
 def dedup_survivors(

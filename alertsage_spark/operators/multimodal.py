@@ -205,9 +205,14 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                 # integer sum -> ONE float divide: bit-identical to the
                 # SQL oracle with no rounding (Python round is
                 # half-even, DuckDB round is half-away — a .5 boundary
-                # would diverge, so don't round at all)
+                # would diverge, so don't round at all). Greyscale PNGs
+                # (ch=1) replicate their channel into r/g/b — the
+                # standard gray->RGB semantic — instead of crashing on
+                # a missing channel index.
                 for k, cc in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
-                    out[k].append(float(arr[:, :, cc].sum()) / (w * h))
+                    out[k].append(
+                        float(arr[:, :, min(cc, ch - 1)].sum()) / (w * h)
+                    )
                 out["checksum"].append(int((arr * weight).sum()))
             yield pd.DataFrame(out)
 
@@ -250,8 +255,11 @@ def resize_image_stats(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 out["media_id"].append(int(mid))
                 out["width"].append(out_w)
                 out["height"].append(out_h)
+                # gray (ch=1) replicates into r/g/b, as in decode_image_stats
                 for k, cc in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
-                    out[k].append(float(r[:, :, cc].sum()) / (out_w * out_h))
+                    out[k].append(
+                        float(r[:, :, min(cc, ch - 1)].sum()) / (out_w * out_h)
+                    )
                 out["checksum"].append(int((r * weight).sum()))
             yield pd.DataFrame(out)
 

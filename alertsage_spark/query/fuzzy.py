@@ -54,18 +54,16 @@ def _delete_variants(col: Column, max_deletes: int = 2) -> Column:
             ),
         )
     )
-    # The empty-string variant is kept ONLY for sources short enough to
-    # need it (len <= max_deletes: for a pair like 'ab' vs 'cd', '' is
-    # the only guaranteed common delete-variant). Longer strings never
-    # reach '' anyway, so the '' join-key population is bounded by the
-    # token alphabet (<= |alphabet|^2 + |alphabet| distinct vocab terms
-    # of length <= 2), independent of vocabulary size — a bounded
-    # bucket, not a skew risk. All other zero-length variants are
-    # filtered so '' can never become a vocab-scale hot key.
-    variants = F.array_distinct(F.concat(F.array(col), one, two))
-    return F.when(
-        F.length(col) <= max_deletes, variants
-    ).otherwise(F.filter(variants, lambda v: F.length(v) > 0))
+    # Skew note on the '' variant (r3 advisory): only sources of length
+    # <= max_deletes can reach the empty string (deleting k chars from
+    # an L-char string leaves L-k >= 1 chars for L > max_deletes), and
+    # '' is exactly the completeness bridge such short-short pairs need
+    # ('ab' vs 'cd' share no other variant). Its join-key population is
+    # therefore bounded by the token alphabet (<= |alphabet|^2 +
+    # |alphabet| distinct terms of length <= 2), independent of
+    # vocabulary size — a bounded bucket, not a hot key; no filtering
+    # is needed or correct (test-pinned in test_query_extras.py).
+    return F.array_distinct(F.concat(F.array(col), one, two))
 
 
 def suggest(

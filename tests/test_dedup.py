@@ -176,3 +176,15 @@ def test_components_chain_converges_in_log_rounds(spark):
     # propagate+jump: distance-to-root shrinks ~geometrically; allow a
     # small constant over log2(n) but far below the linear n-1 bound
     assert iters <= 2 * int(math.log2(n)) + 4, iters
+
+
+def test_components_last_iterations_reflects_failed_call(spark):
+    from alertsage_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # telemetry must reflect THIS call, not a previous convergent one
+    assert connected_components.last_iterations == 2

@@ -26,8 +26,9 @@ NEVER_DRIVER_CHECKED = {
 
 # Entries whose ENGINE PATHS changed in round 4 — keep them in the
 # window this round so the driver re-certifies the changed code:
-# fuzzy empty-variant fix, pointer-jumping components, streaming
-# batch-id sidecar, serving term-row LRU.
+# pointer-jumping components, streaming batch-id sidecar, serving
+# term-row LRU (fuzzy's r3-advisory '' concern resolved as
+# bounded-by-alphabet with no final code change; kept for coverage).
 RECERTIFY_THIS_ROUND = {
     "ft_fuzzy_suggest", "dedup_components", "dedup_survivors",
     "ft_stream_ingest_bm25", "ft_bm25_code_topk",

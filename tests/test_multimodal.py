@@ -166,3 +166,22 @@ def test_resize_image_stats_matches_manual_resample(spark):
         y = np.arange(12)[:, None, None]
         c = np.arange(3)[None, None, :]
         assert r["checksum"] == int((rs * (1 + x + y * 16 + c * 16 * 12)).sum())
+
+
+def test_image_stats_handle_greyscale(spark):
+    """decode_image_stats must not crash on 1-channel PNGs the codec
+    legitimately decodes (gray replicates into r/g/b)."""
+    import pandas as pd
+
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    blob = encode_png(gray, "cycle")
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "data": [blob]}),
+        "media_id long, data binary",
+    )
+    r = mm.decode_image_stats(media).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (8, 6, 1)
+    exp = float(gray.astype(np.int64).sum()) / 48
+    assert r["mean_r"] == r["mean_g"] == r["mean_b"] == exp
+    rr = mm.resize_image_stats(media, 4, 3).collect()[0]
+    assert rr["mean_r"] == rr["mean_g"] == rr["mean_b"]

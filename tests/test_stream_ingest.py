@@ -278,3 +278,33 @@ def test_tombstone_group_does_not_trigger_stats_repair(spark, tmp_path):
     assert ingest_batch(spark, d1, 0, idx_dir, n_shards=2) is False
     after = _json.load(open(os.path.join(idx_dir, "stats.json")))
     assert after == before
+
+
+def test_merge_into_reused_dir_clears_stale_sidecar(spark, tmp_path):
+    """A merge destination that previously hosted a streamed index must
+    not inherit its sidecar: stale committed-batch claims would make a
+    later streaming sink silently DROP re-used batch ids."""
+    from alertsage_spark.index.merge import merge_segments
+    from alertsage_spark.index.segments import STREAM_SIDECAR, build_segments
+
+    dst = str(tmp_path / "reused")
+    # first life: streamed index at dst
+    assert ingest_batch(spark, zipf_corpus(spark, 120, seed=71), 0, dst, n_shards=2)
+    assert committed_batch_ids(dst) == {0}
+    import shutil
+
+    shutil.rmtree(dst)
+
+    # second life: dst becomes the merge target of a PLAIN batch index
+    os.makedirs(dst)
+    # simulate the stale leftover surviving an incomplete cleanup
+    with open(os.path.join(dst, STREAM_SIDECAR), "w") as f:
+        f.write('{"batch_ids": [0, 1]}')
+    src = str(tmp_path / "plain")
+    build_segments(spark, zipf_corpus(spark, 150, seed=72), src,
+                   n_shards=2, n_groups=1)
+    merge_segments(spark, src, dst)
+    assert committed_batch_ids(dst) == set()
+    # batch 0 against the merged index must INGEST, not be skipped
+    assert ingest_batch(spark, zipf_corpus(spark, 50, seed=73).selectExpr(
+        "doc_id + 5000 AS doc_id", "text"), 0, dst, n_shards=2) is True
