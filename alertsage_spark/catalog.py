@@ -63,6 +63,7 @@ _DRIVER_WINDOW: list[str] = [
     "sim_text_encode_dup_pairs", "mm_extract_features",
     "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
     "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
+    "stream_dedup_exact",
     # -- re-certify entries whose engine paths changed this round:
     # fuzzy (r3-advisory '' analysis — resolved as bounded-by-alphabet,
     # no code change needed in the end), connected components (pointer
@@ -73,7 +74,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- r3-green entries retained for ongoing coverage --
     "ft_hallucinated_iocs", "ft_build_invariants",
     "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
-    "rel_json_extract", "rel_date_arith",
+    "rel_date_arith",
     "rel_comment_filter",
     "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
@@ -89,7 +90,7 @@ _DRIVER_WINDOW: list[str] = [
     # ft_sanitize_text, ft_lenient_json, ft_siem_patterns,
     # ft_keyword_gate, ft_extract_iocs, ft_mitre_ids, ft_risk_score,
     # ft_uncertainty_band, ft_normalize_label, rel_regexp_extract,
-    # rel_topk_offset, rel_topk_most_common. --
+    # rel_topk_offset, rel_topk_most_common, rel_json_extract. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 ]
@@ -1959,6 +1960,46 @@ def stream_time_window(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return out
+
+
+@register(
+    "stream_dedup_exact",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup_exact(spark, sf_dir):
+    """STATEFUL streaming deduplication (streaming/dedup.py): readStream
+    over events -> dropDuplicates on (user_id, event_type) -> append-
+    mode availableNow drain. The state store holds one entry per
+    distinct key, so the drained output is exactly the batch DISTINCT —
+    which is the oracle. The bounded-state production variant
+    (dropDuplicatesWithinWatermark) is pinned separately in
+    tests/test_streaming_dedup.py, where its deliberate divergence from
+    batch DISTINCT (re-occurrences beyond the horizon survive) is the
+    asserted contract."""
+    import os
+    import tempfile
+    import uuid
+
+    from alertsage_spark.streaming.dedup import dedup_exact
+    from alertsage_spark.streaming.windows import run_to_memory
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="stream_dd_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        spark,
+        dedup_exact(stream, ["user_id", "event_type"]),
+        name,
+        tempfile.mkdtemp(prefix="ckpt_dd_"),
+        output_mode="append",
+    )
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 @register(

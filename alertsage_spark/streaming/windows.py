@@ -50,15 +50,17 @@ def run_to_memory(
     streaming_df: DataFrame,
     query_name: str,
     checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain all available input (availableNow trigger) into a memory
-    sink; blocks until done. Complete-mode because window aggs finalize
-    only when the watermark passes — availableNow batch drains want the
-    full picture."""
+    sink; blocks until done. Default complete-mode because window aggs
+    finalize only when the watermark passes — availableNow batch drains
+    want the full picture; stateful non-agg operators (dropDuplicates)
+    require append."""
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
