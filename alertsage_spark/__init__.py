@@ -42,6 +42,7 @@ def __getattr__(name):  # PEP 562
         "suggest": "alertsage_spark.query.fuzzy",
         "snippet_topdocs": "alertsage_spark.query.snippet",
         "pattern_search": "alertsage_spark.query.substring",
+        "pattern_slice_terms": "alertsage_spark.query.substring",
         "parse_query": "alertsage_spark.query.parse",
         "search": "alertsage_spark.query.parse",
         # ingest
@@ -55,6 +56,11 @@ def __getattr__(name):  # PEP 562
         "embedding_dup_pairs": "alertsage_spark.operators.similarity",
         "hybrid_features": "alertsage_spark.operators.featurize",
         "keyword_evidence_gate": "alertsage_spark.functions.keyword_gates",
+        # round-4 surface: text encoder, real image codec, streaming dedup
+        "encode_text": "alertsage_spark.operators.encode",
+        "encode_png": "alertsage_spark.operators.png",
+        "decode_png": "alertsage_spark.operators.png",
+        "dedup_within_watermark": "alertsage_spark.streaming.dedup",
     }
     if name in _API:
         import importlib
