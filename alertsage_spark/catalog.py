@@ -310,6 +310,12 @@ def ft_lsm_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_group(spark, d, b)
         m = tempfile.mkdtemp(prefix="catalog_lsmm_") + "/merged"
         merge_segments(spark, d, m)
+        # d and b are pure intermediates (full compressed index copies);
+        # only the merged index is cached — drop them now
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)
         _SEG_INDEX_CACHE[key] = load_index(spark, m).prepare_for_queries()
     qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
     return wand_topk(spark, _SEG_INDEX_CACHE[key], qs, k=10, algo="auto").withColumn(
@@ -1911,6 +1917,23 @@ def sim_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_ann_topk(emb, list(qvec), k=10, n_probe=6)
 
 
+def _stream_source(spark: SparkSession, sf_dir: str, table: str = "events",
+                   prefix: str = "stream_src_"):
+    """File-source stream over a fixture parquet: the file stream source
+    requires a DIRECTORY (it monitors for new files), so the single
+    fixture file is exposed through a temp-dir symlink. Shared by every
+    events-based streaming entry — the one place to fix stream-source
+    pitfalls (e.g. the FileStreamSink glob probe noise)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, f"{table}.parquet"))
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
 @register(
     "stream_time_window",
     """
@@ -1931,15 +1954,7 @@ def stream_time_window(spark, sf_dir):
 
     from alertsage_spark.streaming.windows import run_to_memory, tumbling_counts
 
-    import os
-
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    # the file stream source requires a DIRECTORY (it monitors for new
-    # files); expose the fixture file through a temp dir symlink
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = _stream_source(spark, sf_dir)
     # watermarks require TIMESTAMP (event-time); the fixture stores
     # TIMESTAMP_NTZ — cast is value-identical under the UTC session tz,
     # and the result is cast back for schema parity with the oracle
@@ -1978,18 +1993,13 @@ def stream_dedup_exact(spark, sf_dir):
     tests/test_streaming_dedup.py, where its deliberate divergence from
     batch DISTINCT (re-occurrences beyond the horizon survive) is the
     asserted contract."""
-    import os
     import tempfile
     import uuid
 
     from alertsage_spark.streaming.dedup import dedup_exact
     from alertsage_spark.streaming.windows import run_to_memory
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src_dir = tempfile.mkdtemp(prefix="stream_dd_src_")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = _stream_source(spark, sf_dir, prefix="stream_dd_src_")
     name = f"stream_dd_{uuid.uuid4().hex[:8]}"
     run_to_memory(
         spark,
@@ -2322,22 +2332,16 @@ def stream_sessionize(spark, sf_dir):
     plus final sessions stale relative to the corpus max timestamp —
     fully SQL-expressible. Timeout-path behavior is covered by
     tests/test_streaming_sessions.py."""
-    import os
     import tempfile
     import uuid
 
     from alertsage_spark.streaming.sessions import sessionize_stream
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src_dir = tempfile.mkdtemp(prefix="sess_src_")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         stream = (
-            spark.readStream.schema(schema)
-            .parquet(src_dir)
+            _stream_source(spark, sf_dir, prefix="sess_src_")
             .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
         )
         name = f"sess_{uuid.uuid4().hex[:8]}"
@@ -3741,5 +3745,7 @@ def ft_substring_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = seg.as_inverted_index(terms=terms)
     pats = spark.createDataFrame(_SUBSTR_QUERIES, "query_id string, pattern string")
     return pattern_search(
-        inv, tbl(spark, sf_dir, "documents"), pats, match="contains"
+        inv, tbl(spark, sf_dir, "documents"), pats, match="contains",
+        postings_presliced=True,  # the as_inverted_index slice above IS
+        # the same term set pattern_search would re-filter by
     ).orderBy("query_id", "doc_id")

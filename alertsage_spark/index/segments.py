@@ -100,9 +100,15 @@ def stream_committed_batch_ids(index_dir: str) -> set[int]:
 
     out: set[int] = set()
     side = os.path.join(index_dir, STREAM_SIDECAR)
-    if os.path.exists(side):
+    try:
+        # open-or-miss, not exists-then-open: persist_stream_batch_ids
+        # may legitimately REMOVE the sidecar concurrently (empty-set
+        # write during a merge into this dir) — a TOCTOU exists() check
+        # would crash the reader in that window
         with open(side) as f:
             out.update(int(b) for b in json.load(f)["batch_ids"])
+    except FileNotFoundError:
+        pass
     for p in _glob.glob(os.path.join(index_dir, "segments", "group=*", STREAM_MARKER)):
         with open(p) as f:
             out.add(int(json.load(f)["batch_id"]))

@@ -76,6 +76,7 @@ def pattern_search(
     match: str = "contains",
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings_presliced: bool = False,
 ) -> DataFrame:
     """Docs with >= 1 token matching each pattern.
 
@@ -92,20 +93,24 @@ def pattern_search(
         raise ValueError(f"unknown match mode: {match}")
     if index.mode != "code":
         raise ValueError("pattern_search needs a code-mode index (trigram terms)")
-    bad = patterns.filter(
-        (F.length("pattern") < MIN_PATTERN_LEN) | F.col("pattern").contains(" ")
-    ).take(1)
+    # ONE driver action serves both validation and the slice derivation
+    # (patterns are query-side tiny by construction)
+    plist = [r["pattern"] for r in patterns.select("pattern").distinct().collect()]
+    bad = [p for p in plist if p is None or len(p) < MIN_PATTERN_LEN or " " in p]
     if bad:
-        raise ValueError(f"pattern too short or contains spaces: {bad[0].pattern!r}")
+        raise ValueError(f"pattern too short or contains spaces: {bad[0]!r}")
 
     # Prefilter postings to the exact term slice the patterns can touch:
     # a broadcast JOIN alone does not prune the postings scan, so
     # without this every query batch reads the whole postings relation
     # (measured 2x full scans per call at sf0.1; at corpus scale the
     # IN-filter is the difference between a metadata-pruned read and a
-    # table scan). The pattern set is query-side tiny by construction.
-    plist = [r["pattern"] for r in patterns.select("pattern").distinct().collect()]
-    postings = index.postings.filter(F.col("term").isin(pattern_slice_terms(plist)))
+    # table scan). Callers that already sliced the postings relation
+    # (SegmentIndex.as_inverted_index(terms=pattern_slice_terms(...)))
+    # pass postings_presliced=True to skip the redundant filter.
+    postings = index.postings
+    if not postings_presliced:
+        postings = postings.filter(F.col("term").isin(pattern_slice_terms(plist)))
 
     ptri = patterns.select(
         "query_id",
