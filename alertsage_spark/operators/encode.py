@@ -42,6 +42,17 @@ from pyspark.sql import DataFrame
 DIM = 64
 NGRAM = 3
 
+# ASCII-only case folding: Python str.lower() and SQL lower() DIVERGE on
+# some unicode (Python 'İ'.lower() -> 'i' + combining dot; Python applies
+# the Greek final-sigma rule contextually, SQL engines map Σ -> σ
+# unconditionally — both verified against DuckDB). A hashing encoder
+# needs cross-engine determinism more than full unicode folding, so both
+# sides fold exactly [A-Z] -> [a-z] and leave everything else byte-exact
+# (property-tested over arbitrary unicode in tests/test_encode.py).
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_FOLD = str.maketrans(_UPPER, _LOWER)
+
 
 def _bucket_sign(g: str, dim: int) -> tuple[int, int]:
     h = md5(g.encode("utf-8")).hexdigest()
@@ -50,7 +61,7 @@ def _bucket_sign(g: str, dim: int) -> tuple[int, int]:
 
 def encode_py(text: str, dim: int = DIM, n: int = NGRAM) -> list[float]:
     """Single-string reference implementation (test oracle twin)."""
-    s = (text or "").lower()
+    s = (text or "").translate(_ASCII_FOLD)
     counts = np.zeros(dim, dtype=np.int64)
     for i in range(len(s) - n + 1):
         b, sg = _bucket_sign(s[i : i + n], dim)
@@ -84,7 +95,7 @@ def encode_text(
         for pdf in it:
             vecs = []
             for t in pdf[text_col]:
-                s = (t or "").lower()
+                s = (t or "").translate(_ASCII_FOLD)
                 counts = np.zeros(dim, dtype=np.int64)
                 for i in range(len(s) - n + 1):
                     b, sg = bs(s[i : i + n])
@@ -111,7 +122,9 @@ def duckdb_encode_cte(
     ending in ``encv`` with columns (id_col, v list<double>) — rows with
     a zero vector keep it (cosine consumers must filter)."""
     return f"""
-encsrc AS (SELECT {id_col}, lower({text_col}) AS s FROM ({source_sql})),
+encsrc AS (SELECT {id_col},
+                  translate({text_col}, '{_UPPER}', '{_LOWER}') AS s
+           FROM ({source_sql})),
 encgrams AS (
   SELECT {id_col}, substr(s, CAST(i AS INTEGER), {n}) AS g
   FROM encsrc, unnest(range(1, length(s) - {n} + 2)) AS t(i)

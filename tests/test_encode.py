@@ -71,3 +71,33 @@ def test_encoded_vectors_drive_lsh_dup_pipeline(spark):
     found = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
     assert (1, 2) in found and found[(1, 2)] >= 0.9
     assert all(a == 1 and b == 2 for a, b in found)
+
+
+# ---- property-based parity (hypothesis): Python ref == DuckDB SQL ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(max_size=60),  # FULL unicode: the ASCII-only fold makes
+        # the encoder engine-portable even where str.lower() and SQL
+        # lower() disagree ('İ', final sigma)
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_encoder_duckdb_parity_property(texts):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO d VALUES (?, ?)", [i, t])
+    sql = (
+        "WITH "
+        + duckdb_encode_cte("SELECT doc_id, text FROM d")
+        + "\nSELECT doc_id, v FROM encv ORDER BY doc_id"
+    )
+    for doc_id, v in con.execute(sql).fetchall():
+        assert list(v) == encode_py(texts[doc_id]), texts[doc_id]

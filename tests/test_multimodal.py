@@ -185,3 +185,23 @@ def test_image_stats_handle_greyscale(spark):
     assert r["mean_r"] == r["mean_g"] == r["mean_b"] == exp
     rr = mm.resize_image_stats(media, 4, 3).collect()[0]
     assert rr["mean_r"] == rr["mean_g"] == rr["mean_b"]
+
+
+# ---- property-based codec checks (hypothesis) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 3, 4]),
+    mode=st.sampled_from(["none", "cycle"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, mode, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(a, mode)), a)
