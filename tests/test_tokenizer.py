@@ -131,3 +131,27 @@ def test_pandas_udf_is_arrow_not_batch(spark):
     plan = df.select(tok("s").alias("t"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---- property-based cross-engine parity (hypothesis) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=st.text(max_size=100))
+def test_tokenize_py_matches_duckdb_property(text):
+    """tokenize_py == the DuckDB oracle fragment over ARBITRARY unicode:
+    unicode lower() divergences (Turkish I, final sigma) are filtered by
+    the ASCII token charset, so parity holds by construction — this
+    pins that property against future tokenizer edits."""
+    import duckdb
+
+    from alertsage_spark.tokenizer import duckdb_tokens_sql, tokenize_py
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (text VARCHAR)")
+    con.execute("INSERT INTO d VALUES (?)", [text])
+    got = con.execute(f"SELECT {duckdb_tokens_sql('text')} FROM d").fetchone()[0]
+    assert list(got) == tokenize_py(text)
