@@ -45,6 +45,8 @@ def __getattr__(name):  # PEP 562
         "pattern_slice_terms": "alertsage_spark.query.substring",
         "parse_query": "alertsage_spark.query.parse",
         "search": "alertsage_spark.query.parse",
+        "hybrid_rrf": "alertsage_spark.query.hybrid",
+        "rrf_fuse": "alertsage_spark.query.hybrid",
         # ingest
         "prepare_code_corpus": "alertsage_spark.sources.code_corpus",
         # pipeline operators

@@ -63,7 +63,7 @@ _DRIVER_WINDOW: list[str] = [
     "sim_text_encode_dup_pairs", "mm_extract_features",
     "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
     "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
-    "stream_dedup_exact",
+    "stream_dedup_exact", "ft_hybrid_rrf",
     # -- re-certify entries whose engine paths changed this round:
     # fuzzy (r3-advisory '' analysis — resolved as bounded-by-alphabet,
     # no code change needed in the end), connected components (pointer
@@ -74,7 +74,6 @@ _DRIVER_WINDOW: list[str] = [
     # -- r3-green entries retained for ongoing coverage --
     "ft_hallucinated_iocs", "ft_build_invariants",
     "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
-    "rel_date_arith",
     "rel_comment_filter",
     "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
@@ -90,7 +89,8 @@ _DRIVER_WINDOW: list[str] = [
     # ft_sanitize_text, ft_lenient_json, ft_siem_patterns,
     # ft_keyword_gate, ft_extract_iocs, ft_mitre_ids, ft_risk_score,
     # ft_uncertainty_band, ft_normalize_label, rel_regexp_extract,
-    # rel_topk_offset, rel_topk_most_common, rel_json_extract. --
+    # rel_topk_offset, rel_topk_most_common, rel_json_extract,
+    # rel_date_arith. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 ]
@@ -248,6 +248,80 @@ def ft_taat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
     return wand_topk(spark, index, qs, k=10, algo="taat").withColumn(
         "rank", F.col("rank").cast("int")
+    )
+
+
+def _hybrid_oracle_sql(k_each: int = 20, k: int = 10) -> str:
+    """BM25 ⊕ encoder-cosine RRF oracle: the flagship BM25 CTEs continue
+    (via the final_select continuation slot) into the exact encoder CTE
+    chain over documents UNION the query texts, per-query cosine
+    ranking, and the two-reciprocal RRF sum (order-independent double
+    arithmetic, so no cross-engine drift)."""
+    from alertsage_spark.operators.encode import duckdb_encode_cte
+
+    qmap_vals = ",\n      ".join(
+        f"({_sql_quote(cid)}, {1_000_000 + i})"
+        for i, (cid, _l, _t) in enumerate(REFERENCE_QUERIES)
+    )
+    enc_cte = duckdb_encode_cte(
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT m.qvid AS doc_id, q.query_text AS text "
+        "FROM queries q JOIN qmap m ON m.query_id = q.query_id"
+    )
+    continuation = f""",
+qmap AS (SELECT * FROM (VALUES
+      {qmap_vals}) AS t(query_id, qvid)),
+{enc_cte.lstrip()},
+encq AS (SELECT m.query_id, e.v AS qv
+         FROM qmap m JOIN encv e ON e.doc_id = m.qvid),
+encd AS (SELECT doc_id, v FROM encv WHERE doc_id < 1000000),
+vecscore AS (
+  SELECT q.query_id, d.doc_id,
+         round(list_sum(list_transform(list_zip(d.v, q.qv),
+               x -> x[1] * x[2])), 5) AS cos
+  FROM encd d, encq q),
+vecrank AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS vrank
+  FROM vecscore),
+tr AS (SELECT query_id, doc_id, "rank" AS trank
+       FROM ranked WHERE "rank" <= {{k}}),
+vr AS (SELECT query_id, doc_id, vrank FROM vecrank WHERE vrank <= {{k}}),
+fused AS (
+  SELECT query_id, doc_id,
+         round(coalesce(CAST(1 AS DOUBLE) / (60 + trank), 0)
+             + coalesce(CAST(1 AS DOUBLE) / (60 + vrank), 0), 9) AS rrf
+  FROM tr FULL OUTER JOIN vr USING (query_id, doc_id))
+SELECT query_id, doc_id, rrf, "rank" FROM (
+  SELECT query_id, doc_id, rrf,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC)
+         AS INTEGER) AS "rank"
+  FROM fused) WHERE "rank" <= {k}
+"""
+    return _bm25_oracle_sql(k_each, final_select=continuation)
+
+
+@register("ft_hybrid_rrf", _hybrid_oracle_sql())
+def ft_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (query/hybrid.py): BM25 top-20 fused with
+    encoder-cosine top-20 by Reciprocal Rank Fusion, top-10 out. The
+    reference ships keyword search and semantic search as SEPARATE UI
+    paths (ui_premium.py:4751-4761, :5047-5068); production stacks fuse
+    them — this entry certifies the fused pipeline end to end (both
+    legs AND the fusion arithmetic) against a single DuckDB oracle.
+    Vector leg = brute-force cosine over the deterministic encoder
+    (SQL-replicable); at scale it swaps to the ANN indexes — RRF only
+    consumes ranks, so the fusion is retrieval-strategy-agnostic."""
+    from alertsage_spark.query.hybrid import hybrid_rrf
+
+    return hybrid_rrf(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text"),
+        queries_df(spark),
+        _rel_index_for(spark, sf_dir),
+        k=10,
+        k_each=20,
     )
 
 

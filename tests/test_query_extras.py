@@ -363,3 +363,45 @@ def test_pattern_search_on_sliced_segment_view(spark, code_docs, tmp_path):
         for r in pattern_search(full, code_docs, pats, match="contains").collect()
     )
     assert got == want and got
+
+
+# ---- hybrid RRF fusion (query/hybrid.py) ----
+
+def test_rrf_fuse_semantics(spark):
+    from alertsage_spark.query.hybrid import rrf_fuse
+
+    text = spark.createDataFrame(
+        [("Q", 1, 1), ("Q", 2, 2), ("Q", 3, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    vec = spark.createDataFrame(
+        [("Q", 2, 1), ("Q", 4, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = {r["doc_id"]: (r["rrf"], r["rank"])
+           for r in rrf_fuse(text, vec, k=10).collect()}
+    # doc 2 appears in BOTH lists -> highest fused score
+    assert out[2][1] == 1
+    assert out[2][0] == round(1 / 62 + 1 / 61, 9)
+    # single-list docs score by their one reciprocal; rank-1 text (doc1)
+    # beats rank-2 vec (doc4); doc3 last
+    assert out[1][0] == round(1 / 61, 9)
+    assert [d for d, v in sorted(out.items(), key=lambda x: x[1][1])] == [2, 1, 4, 3]
+
+
+def test_hybrid_rrf_end_to_end_tiny(spark):
+    from alertsage_spark.index.build import build_index
+    from alertsage_spark.query.hybrid import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"),
+         (3, "unrelated text entirely"), (4, "alpha beta gamma extra")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [("Q", "alpha beta gamma")], "query_id string, query_text string"
+    )
+    out = [r["doc_id"] for r in hybrid_rrf(docs, qs, build_index(docs), k=3)
+           .orderBy("rank").collect()]
+    # doc 1 is the exact lexical+semantic match; doc 3 never ranks top-3
+    assert out[0] == 1 and 3 not in out
