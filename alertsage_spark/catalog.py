@@ -192,6 +192,7 @@ def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEG_INDEX_CACHE: dict[str, object] = {}
 _REL_INDEX_CACHE: dict[str, object] = {}
+_ENC_CACHE: dict[str, object] = {}
 
 
 def _rel_index_for(spark: SparkSession, sf_dir: str):
@@ -314,14 +315,23 @@ def ft_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vector leg = brute-force cosine over the deterministic encoder
     (SQL-replicable); at scale it swaps to the ANN indexes — RRF only
     consumes ranks, so the fusion is retrieval-strategy-agnostic."""
+    from alertsage_spark.operators.encode import encode_text
     from alertsage_spark.query.hybrid import hybrid_rrf
 
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # encoded vectors are ingest-time artifacts in production (stored
+    # with the corpus); cache them once per process per sf_dir like the
+    # relational/segment index caches
+    ekey = f"enc:{sf_dir}"
+    if ekey not in _ENC_CACHE:
+        _ENC_CACHE[ekey] = encode_text(docs).cache()
     return hybrid_rrf(
-        tbl(spark, sf_dir, "documents").select("doc_id", "text"),
+        docs,
         queries_df(spark),
         _rel_index_for(spark, sf_dir),
         k=10,
         k_each=20,
+        enc_docs=_ENC_CACHE[ekey],
     )
 
 

@@ -77,17 +77,21 @@ def hybrid_rrf(
     k: int = 10,
     k_each: int = 20,
     k_const: int = RRF_K,
+    enc_docs: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k_each ⊕ encoder-cosine top-k_each -> RRF top-k.
 
     docs: (doc_id, text); queries: (query_id, query_text);
     rel_index: the uncompressed relational index over the same docs.
+    enc_docs: precomputed (doc_id, vec) from encode_text — the
+    production shape (vectors are ingest-time artifacts, stored with
+    the corpus); when omitted they are computed inline.
     """
     spark = docs.sparkSession
     text_ranked = bm25_topk(rel_index, queries, k=k_each).select(
         "query_id", "doc_id", "rank"
     )
-    enc_d = encode_text(docs)
+    enc_d = enc_docs if enc_docs is not None else encode_text(docs)
     import pandas as pd
 
     qrows = queries.collect()

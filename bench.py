@@ -251,6 +251,12 @@ def main() -> None:
             catalog.queries()[name](spark, SF_DIR).collect()
 
     queries["query_surface_suite"] = median(timed(one_surface))
+
+    # hybrid BM25 ⊕ encoder-cosine RRF (r4) — its own key so the
+    # cross-round query_surface_suite comparison stays apples-to-apples
+    queries["hybrid_rrf"] = median(timed(
+        lambda: catalog.queries()["ft_hybrid_rrf"](spark, SF_DIR).collect()
+    ))
     spark.catalog.clearCache()
 
     # ---- 7. SYNTHETIC sections from here on (zipf, then code last):
