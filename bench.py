@@ -250,7 +250,9 @@ def main() -> None:
         for name in surface:
             catalog.queries()[name](spark, SF_DIR).collect()
 
-    queries["query_surface_suite"] = median(timed(one_surface))
+    t_surface = timed(one_surface)
+    queries["query_surface_suite"] = median(t_surface)
+    extra["surface_reps"] = [round(t, 3) for t in t_surface]
 
     # hybrid BM25 ⊕ encoder-cosine RRF (r4) — its own key so the
     # cross-round query_surface_suite comparison stays apples-to-apples
