@@ -186,3 +186,43 @@ def test_autocomplete_prunes_dictionary_with_range_predicates(spark):
     plan = _optimized(df)
     # attribute names print with exprIds (term#10 >= sc)
     assert ">= sc" in plan and "< sd" in plan and ">= zz" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Catalyst injects a runtime Bloom filter on the probe side of a
+    selective shuffle join when enabled — the 100 TB row-group-pruning
+    technique for fact-x-filtered-dim joins. Thresholds are lowered here
+    because the fixture is far below the production 10 GB application-
+    side default; at real scale the defaults fire on their own."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        q = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
