@@ -63,6 +63,8 @@ def __getattr__(name):  # PEP 562
         "encode_png": "alertsage_spark.operators.png",
         "decode_png": "alertsage_spark.operators.png",
         "dedup_within_watermark": "alertsage_spark.streaming.dedup",
+        "cms_build": "alertsage_spark.operators.sketch",
+        "cms_estimate": "alertsage_spark.operators.sketch",
     }
     if name in _API:
         import importlib

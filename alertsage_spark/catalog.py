@@ -63,7 +63,7 @@ _DRIVER_WINDOW: list[str] = [
     "sim_text_encode_dup_pairs", "mm_extract_features",
     "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
     "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
-    "stream_dedup_exact", "ft_hybrid_rrf",
+    "stream_dedup_exact", "ft_hybrid_rrf", "pipe_heavy_hitters_cms",
     # -- re-certify entries whose engine paths changed this round:
     # fuzzy (r3-advisory '' analysis — resolved as bounded-by-alphabet,
     # no code change needed in the end), connected components (pointer
@@ -74,7 +74,6 @@ _DRIVER_WINDOW: list[str] = [
     # -- r3-green entries retained for ongoing coverage --
     "ft_hallucinated_iocs", "ft_build_invariants",
     "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
-    "rel_comment_filter",
     "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
     "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
     "rel_sessionize", "stream_time_window", "stream_sessionize",
@@ -90,7 +89,7 @@ _DRIVER_WINDOW: list[str] = [
     # ft_keyword_gate, ft_extract_iocs, ft_mitre_ids, ft_risk_score,
     # ft_uncertainty_band, ft_normalize_label, rel_regexp_extract,
     # rel_topk_offset, rel_topk_most_common, rel_json_extract,
-    # rel_date_arith. --
+    # rel_date_arith, rel_comment_filter. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 ]
@@ -249,6 +248,59 @@ def ft_taat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
     return wand_topk(spark, index, qs, k=10, algo="taat").withColumn(
         "rank", F.col("rank").cast("int")
+    )
+
+
+# CMS probe terms: hot fixture vocabulary + rare + absent
+_CMS_KEYS = ["data", "merge", "qq9xz", "scan", "spark", "stream",
+             "window", "zzzznope"]
+
+
+def _cms_oracle_sql() -> str:
+    from alertsage_spark.operators.sketch import duckdb_cms_sql
+
+    keys_vals = ", ".join(f"({_sql_quote(k)})" for k in _CMS_KEYS)
+    body = duckdb_cms_sql(
+        items_sql=f"SELECT unnest({_TOKS}) AS key FROM documents",
+        keys_sql=f"SELECT * FROM (VALUES {keys_vals}) AS t(key)",
+    )
+    return f"""
+WITH {body.lstrip()}
+SELECT e.key AS term, e.cms_est,
+       CAST(coalesce(x.c, 0) AS BIGINT) AS exact_cnt
+FROM cmsest e
+LEFT JOIN (SELECT key, CAST(count(*) AS BIGINT) AS c
+           FROM cmsitems GROUP BY key) x USING (key)
+"""
+
+
+@register("pipe_heavy_hitters_cms", _cms_oracle_sql())
+def pipe_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter probes over the token stream
+    (operators/sketch.py): the bounded-memory frequency structure that
+    replaces a full-cardinality groupBy for "how often does X occur" at
+    corpus scale. The probe set covers hot, rare, and ABSENT terms, and
+    the result carries both the sketch estimate and the exact count —
+    the DuckDB oracle replicates the md5 hash family and every counter,
+    so a hash-green row certifies the sketch mechanics AND exhibits the
+    never-undercount property on real data."""
+    from alertsage_spark.operators.sketch import cms_build, cms_estimate
+
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.explode(tokenize_col(F.col("text"))).alias("key")
+    )
+    sketch = cms_build(toks, "key")
+    keys = spark.createDataFrame([(k,) for k in _CMS_KEYS], "key string")
+    est = cms_estimate(sketch, keys)
+    exact = toks.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "key", "left")
+        .select(
+            F.col("key").alias("term"),
+            "cms_est",
+            F.coalesce("exact_cnt", F.lit(0)).cast("bigint").alias("exact_cnt"),
+        )
+        .orderBy("term")
     )
 
 

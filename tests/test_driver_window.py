@@ -22,7 +22,7 @@ NEVER_DRIVER_CHECKED = {
     "sim_text_encode_dup_pairs", "mm_extract_features",
     "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
     "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
-    "stream_dedup_exact", "ft_hybrid_rrf",
+    "stream_dedup_exact", "ft_hybrid_rrf", "pipe_heavy_hitters_cms",
 }
 
 # Entries whose ENGINE PATHS changed in round 4 — keep them in the
@@ -50,6 +50,7 @@ ROTATED_OUT_R4 = {
     "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
     "ft_normalize_label", "rel_regexp_extract", "rel_topk_offset",
     "rel_topk_most_common", "rel_json_extract", "rel_date_arith",
+    "rel_comment_filter",
 }
 
 

@@ -1,0 +1,81 @@
+"""Count-min sketch (operators/sketch.py): never-undercounts, merges by
+elementwise addition, and the DuckDB replica matches counter-for-counter."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from alertsage_spark.operators.sketch import (
+    DEPTH,
+    WIDTH,
+    cms_build,
+    cms_estimate,
+    duckdb_cms_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def zipfish(spark):
+    # skewed multiset: 'hot' 500x, 'warm' 50x, 'cold' 1x
+    rows = [("hot",)] * 500 + [("warm",)] * 50 + [("cold",)]
+    rows += [(f"noise{i}",) for i in range(2000)]
+    return spark.createDataFrame(rows, "key string").cache()
+
+
+def test_cms_never_undercounts(spark, zipfish):
+    sketch = cms_build(zipfish, "key")
+    keys = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold",), ("absent",)], "key string"
+    )
+    est = {r["key"]: r["cms_est"] for r in cms_estimate(sketch, keys).collect()}
+    true = {"hot": 500, "warm": 50, "cold": 1, "absent": 0}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # with 2551 items over width 1024 the hot estimate should be tight
+    assert est["hot"] <= 520
+
+
+def test_cms_sketch_size_bounded(spark, zipfish):
+    sketch = cms_build(zipfish, "key")
+    assert sketch.count() <= DEPTH * WIDTH
+    total = sketch.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+    assert all(int(r["s"]) == 2551 for r in total)  # each row sees every item
+
+
+def test_cms_merge_is_elementwise_add(spark):
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 3, "key string")
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)] * 7, "key string")
+    merged = (
+        cms_build(a, "key")
+        .unionByName(cms_build(b, "key"))
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(a.unionByName(b), "key")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_duckdb_replica_matches(spark, zipfish):
+    rows = [r["key"] for r in zipfish.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE items (key VARCHAR)")
+    con.executemany("INSERT INTO items VALUES (?)", [(k,) for k in rows])
+    sql = (
+        "WITH "
+        + duckdb_cms_sql(
+            "SELECT key FROM items",
+            "SELECT * FROM (VALUES ('hot'), ('warm'), ('absent')) AS t(key)",
+        ).lstrip()
+        + "\nSELECT key, cms_est FROM cmsest ORDER BY key"
+    )
+    duck = dict(con.execute(sql).fetchall())
+    keys = spark.createDataFrame([("hot",), ("warm",), ("absent",)], "key string")
+    got = {
+        r["key"]: r["cms_est"]
+        for r in cms_estimate(cms_build(zipfish, "key"), keys).collect()
+    }
+    assert got == duck
