@@ -808,7 +808,18 @@ class SegmentIndex:
         vocabularies, 10^12 docs) both collects skip automatically and
         queries use the distributed path; segment caching remains valid
         at any scale because Spark caches per-partition and evicts LRU."""
-        self.serving_groups = self._group_dirs()
+        # ADVICE r04: never RE-snapshot here. The parquet path list was
+        # pinned at load_index time; re-listing the directory would
+        # silently adopt a group appended/deleted between load_index()
+        # and prepare_for_queries() — assert_serving_fresh would then
+        # pass while self.segments still reads the load-time paths,
+        # serving stale results. Verify against the load-time snapshot
+        # instead (raises loudly on mutation); only direct constructions
+        # that never went through load_index snapshot now.
+        if self.serving_groups is None:
+            self.serving_groups = self._group_dirs()
+        else:
+            self.assert_serving_fresh()
         self.term_rows_cache = {}
         self.segments.cache().count()
         if self.termstats.count() <= collect_termstats_max:
@@ -991,6 +1002,8 @@ def load_index(spark: SparkSession, index_dir: str) -> SegmentIndex:
     )
     # The parquet path list above is pinned NOW; snapshot it so any
     # later on-disk mutation raises at query time rather than serving
-    # stale results (prepare_for_queries re-snapshots identically).
+    # stale results (prepare_for_queries KEEPS this snapshot and
+    # re-verifies it — it must not re-list, or a mutation in the
+    # load->prepare gap would be silently adopted).
     idx.serving_groups = idx._group_dirs()
     return idx

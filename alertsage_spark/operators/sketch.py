@@ -33,23 +33,35 @@ def _bucket(r: int, key: Column, width: int) -> Column:
     ).cast("int")
 
 
+def _rb_pairs(key: Column, depth: int, width: int) -> Column:
+    """array<struct<r int, b int>> of all depth bucket coordinates for
+    one key — generated per input row so the sketch builds from a
+    SINGLE scan of the input (ADVICE r04: the previous depth-way union
+    re-read the input ``depth`` times; at 100 TB that is depth x the
+    I/O)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                _bucket(r, key, width).alias("b"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def cms_build(
     items: DataFrame, key_col: str, depth: int = DEPTH, width: int = WIDTH
 ) -> DataFrame:
     """One row per item occurrence in ``items`` -> sketch counters
-    (r int, b int, cnt bigint); at most depth*width rows. One
-    map-side-combinable aggregation; no full-cardinality state."""
-    rows = [
-        items.select(
-            F.lit(r).cast("int").alias("r"),
-            _bucket(r, F.col(key_col), width).alias("b"),
-        )
-        for r in range(depth)
-    ]
-    un = rows[0]
-    for df in rows[1:]:
-        un = un.unionByName(df)
-    return un.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    (r int, b int, cnt bigint); at most depth*width rows. ONE input
+    scan (inline-exploded (r,b) pairs) feeding one map-side-combinable
+    aggregation; no full-cardinality state."""
+    return (
+        items.select(F.inline(_rb_pairs(F.col(key_col), depth, width)))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_estimate(
@@ -63,14 +75,10 @@ def cms_estimate(
     ``sketch`` is tiny (<= depth*width rows) and broadcast; keys absent
     from every row still read a counter (CMS never undercounts, so the
     estimate is whatever collisions put there)."""
-    probes = None
-    for r in range(depth):
-        p = keys.select(
-            F.col(key_col).alias("key"),
-            F.lit(r).cast("int").alias("r"),
-            _bucket(r, F.col(key_col), width).alias("b"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.inline(_rb_pairs(F.col(key_col), depth, width)),
+    )
     return (
         probes.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy("key")

@@ -45,6 +45,29 @@ def test_append_after_prepare_raises(spark, two_builds):
     assert wand_topk(spark, idx2, [("q", "t1 t2")], k=5).count() > 0
 
 
+def test_mutation_between_load_and_prepare_raises(spark, tmp_path):
+    """ADVICE r04: prepare_for_queries must verify the LOAD-time group
+    snapshot, not re-list the directory — a group appended in the
+    load->prepare gap pins stale parquet paths in self.segments while a
+    re-snapshot would make assert_serving_fresh pass."""
+    a = zipf_corpus(spark, 1_000, seed=21).cache()
+    b = (
+        zipf_corpus(spark, 300, seed=22)
+        .select((F.col("doc_id") + 1_000).alias("doc_id"), "text")
+        .cache()
+    )
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_segments(spark, a, da, n_shards=2, n_groups=1, build_id="A")
+    build_segments(spark, b, db, n_shards=2, n_groups=1, build_id="B")
+    idx = load_index(spark, da)
+    append_group(spark, da, db)  # mutate AFTER load, BEFORE prepare
+    with pytest.raises(RuntimeError, match="stale"):
+        idx.prepare_for_queries()
+    # a fresh load sees the appended group and prepares fine
+    idx2 = load_index(spark, da).prepare_for_queries()
+    assert wand_topk(spark, idx2, [("q", "t1 t2")], k=5).count() > 0
+
+
 def test_append_staging_invisible_to_glob(spark, two_builds, tmp_path):
     da, db = two_builds
     # a leftover staging dir (simulated crash mid-append) must not be

@@ -79,3 +79,12 @@ def test_cms_duckdb_replica_matches(spark, zipfish):
         for r in cms_estimate(cms_build(zipfish, "key"), keys).collect()
     }
     assert got == duck
+
+
+def test_cms_build_single_input_scan(spark, zipfish):
+    """ADVICE r04: counters must build from ONE scan of the input — the
+    (r, b) pairs are inline-generated per row, never a depth-way union
+    of re-reads (4x input I/O at scale)."""
+    plan = cms_build(zipfish, "key")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert "Generate inline" in plan or "Generate" in plan
