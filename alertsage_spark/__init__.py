@@ -65,6 +65,13 @@ def __getattr__(name):  # PEP 562
         "dedup_within_watermark": "alertsage_spark.streaming.dedup",
         "cms_build": "alertsage_spark.operators.sketch",
         "cms_estimate": "alertsage_spark.operators.sketch",
+        # round-5 surface: ANN-legged hybrid retrieval, batched ANN,
+        # real audio codec
+        "hybrid_rrf_ann": "alertsage_spark.query.hybrid",
+        "lsh_ann_topk_batch": "alertsage_spark.operators.similarity",
+        "encode_wav": "alertsage_spark.operators.wav",
+        "decode_wav": "alertsage_spark.operators.wav",
+        "decode_audio_stats": "alertsage_spark.operators.multimodal",
     }
     if name in _API:
         import importlib

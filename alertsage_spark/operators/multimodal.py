@@ -48,12 +48,18 @@ def real_decode(data: bytes, codec: str) -> np.ndarray:
     """REAL decode for PNG (pure-stdlib codec, operators/png.py —
     spec-compliant: cross-validated against Java ImageIO in
     tests/test_multimodal.py) returning the (H, W, C) uint8 pixel
-    array; audio/video codecs remain honestly unavailable (no av lib
-    in this environment — install av and extend this kernel)."""
+    array, and for WAV (pure-stdlib RIFF/PCM codec, operators/wav.py)
+    returning the (n_samples, n_channels) int16 sample array; video
+    codecs remain honestly unavailable (no av lib in this
+    environment — install av and extend this kernel)."""
     if codec == "png":
         from alertsage_spark.operators.png import decode_png
 
         return decode_png(data)
+    if codec == "wav":
+        from alertsage_spark.operators.wav import decode_wav
+
+        return decode_wav(data)[0]
     raise DecoderUnavailable(
         f"no codec library available for {codec!r} in this environment; "
         "install av and extend this kernel"
@@ -88,21 +94,33 @@ def img_pixels(media_id: int) -> np.ndarray:
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table (no external data). Image rows carry
     REAL PNG blobs (filter-cycling encoder) with metadata matching the
-    actual encoded dimensions; audio/video remain opaque stand-ins."""
+    actual encoded dimensions; audio rows carry REAL RIFF/PCM WAV blobs
+    (operators/wav.py) with the true duration; video remains an opaque
+    stand-in (no codec library in this environment)."""
     from alertsage_spark.operators.png import encode_png
+    from alertsage_spark.operators.wav import (
+        audio_n_samples,
+        audio_rate,
+        synth_audio_blob,
+    )
 
     rows = []
     kinds = [("image", "png"), ("audio", "wav"), ("video", "mkv")]
     for i in range(n):
         kind, codec = kinds[i % 3]
+        dur = 1000 * (i % 7)
         if kind == "image":
             px = img_pixels(i)
             blob = encode_png(px, filter_mode="cycle")
             w, h = px.shape[1], px.shape[0]
+        elif kind == "audio":
+            blob = synth_audio_blob(i)
+            w, h = 0, 0
+            dur = audio_n_samples(i) * 1000 // audio_rate(i)
         else:
             blob = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
             w, h = 64 * (1 + i % 4), 64 * (1 + i % 3)
-        rows.append((i, kind, codec, w, h, 1000 * (i % 7), bytearray(blob)))
+        rows.append((i, kind, codec, w, h, dur, bytearray(blob)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -268,6 +286,64 @@ def resize_image_stats(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         schema=(
             "media_id long, width int, height int, "
             "mean_r double, mean_g double, mean_b double, checksum long"
+        ),
+    )
+
+
+def synth_wav_corpus(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (media_id, data binary): one real RIFF/PCM WAV per id
+    with closed-form int16 samples (wav.audio_samples), materialized
+    through Arrow — the same binary-column path audio ingest would use."""
+    from alertsage_spark.operators.wav import synth_audio_blob
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "data": [synth_audio_blob(int(m)) for m in mids],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(kernel, schema="media_id long, data binary")
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV decode -> per-clip statistics, all exactly computable by
+    a SQL oracle from the closed-form sample function: frame/channel
+    counts, the header sample rate, the exact mean amplitude (integer
+    sum -> one float divide, no rounding — Python/DuckDB round modes
+    diverge on .5), and a position-weighted integer checksum
+    sum(s * (1 + i + c*n)) that catches interleave/endianness bugs."""
+    from alertsage_spark.operators.wav import decode_wav
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "n_samples": [], "n_channels": [],
+                "sample_rate": [], "mean_amp": [], "checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                arr, rate = decode_wav(bytes(blob))
+                arr = arr.astype(np.int64)
+                n, ch = arr.shape
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                weight = 1 + i + c * n
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(n)
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["mean_amp"].append(float(arr.sum()) / (n * ch))
+                out["checksum"].append(int((arr * weight).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, n_samples int, n_channels int, "
+            "sample_rate int, mean_amp double, checksum long"
         ),
     )
 

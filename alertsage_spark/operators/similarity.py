@@ -46,7 +46,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -218,6 +218,75 @@ def lsh_ann_topk(
         cond = cond | (F.col(f"sig_{t}") == F.lit(qs))
     cand = sigdf.filter(cond).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def lsh_ann_topk_batch(
+    sigdf: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Batched distributed ANN over a signature-carrying table: for a
+    SET of queries at once, (query_id, id, cos, rank) with rank <= k per
+    query among the sign-LSH candidates of that query.
+
+    Execution shape (the 100 TB plan): signatures unpivot to long form
+    (id, tbl, s) via one inline-explode — no per-table scan; query
+    signatures (|Q| x n_tables rows, computed driver-side from the same
+    plane matrix) broadcast onto an EQUI-join (tbl, s) — never a nested-
+    loop OR-of-columns; candidates dedup with one hash-agg; scoring
+    touches candidate vectors only. No driver loop over queries (the
+    single-query lsh_ann_topk would launch |Q| jobs)."""
+    qsig_rows = []
+    qv_rows = []
+    for qid, qvec in queries:
+        for t, s in enumerate(
+            query_signatures(qvec, n_tables, bits_per_table, seed)
+        ):
+            qsig_rows.append((qid, t, s))
+        qv_rows.append((qid, [float(x) for x in qvec]))
+    spark = sigdf.sparkSession
+    qsig = spark.createDataFrame(qsig_rows, "query_id string, tbl int, s long")
+    qv = spark.createDataFrame(qv_rows, "query_id string, qv array<double>")
+    sig_long = sigdf.select(
+        id_col,
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("tbl"),
+                        F.col(f"sig_{t}").alias("s"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ),
+    )
+    cand = (
+        sig_long.join(F.broadcast(qsig), ["tbl", "s"])
+        .select("query_id", id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(sigdf.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(dot_col(F.col(vec_col), F.col("qv")), 5).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def embedding_dup_pairs(

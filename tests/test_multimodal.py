@@ -73,13 +73,21 @@ def test_real_decode_png_and_stub_for_others(media):
     arr = mm.real_decode(bytes(img["data"]), "png")
     assert arr.shape == (img["height"], img["width"], 3)
     assert np.array_equal(arr, mm.img_pixels(img["media_id"]))
+    # wav decodes for real now (operators/wav.py); video stays stubbed
+    from alertsage_spark.operators.wav import audio_samples
+
+    aud = media.filter("kind = 'audio'").orderBy("media_id").first()
+    samples = mm.real_decode(bytes(aud["data"]), "wav")
+    assert np.array_equal(samples, audio_samples(aud["media_id"]))
     with pytest.raises(mm.DecoderUnavailable):
-        mm.real_decode(b"xx", "wav")
+        mm.real_decode(b"xx", "mkv")
 
 
 def test_extract_features_real_decoder_mixed_outcomes(media):
-    """PNG rows decode for real (stat features); wav/mkv rows are marked
-    failed; hashes/sizes computed regardless."""
+    """PNG and WAV rows decode for real (stat features); mkv rows are
+    marked failed; hashes/sizes computed regardless."""
+    from alertsage_spark.operators.wav import audio_n_channels, audio_n_samples
+
     out = mm.extract_features(media, decoder=mm.real_decode).collect()
     assert len(out) == 64
     by_id = {r["media_id"]: r for r in media.collect()}
@@ -91,6 +99,11 @@ def test_extract_features_real_decoder_mixed_outcomes(media):
             assert r["decode_ok"]
             h, w, ch = r["feature"][0], r["feature"][1], r["feature"][2]
             assert (h, w, ch) == (src["height"], src["width"], 3)
+        elif src["kind"] == "audio":
+            assert r["decode_ok"]
+            n, ch = r["feature"][0], r["feature"][1]
+            mid = r["media_id"]
+            assert (n, ch) == (audio_n_samples(mid), audio_n_channels(mid))
         else:
             assert not r["decode_ok"] and r["feature"] is None
 

@@ -405,3 +405,53 @@ def test_hybrid_rrf_end_to_end_tiny(spark):
            .orderBy("rank").collect()]
     # doc 1 is the exact lexical+semantic match; doc 3 never ranks top-3
     assert out[0] == 1 and 3 not in out
+
+
+def test_hybrid_rrf_ann_fusion_rederived(spark):
+    """hybrid_rrf_ann's fused scores must equal RRF recomputed from its
+    two legs run independently (BM25 ranks + batched-ANN ranks) — the
+    fusion is pure arithmetic over ranks, whatever the vector leg."""
+    from alertsage_spark.index.build import build_index
+    from alertsage_spark.operators.encode import DIM, encode_py, encode_text
+    from alertsage_spark.operators.similarity import (
+        lsh_ann_topk_batch,
+        with_lsh_signatures,
+    )
+    from alertsage_spark.query.bm25 import bm25_topk
+    from alertsage_spark.query.hybrid import hybrid_rrf_ann
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    qs = spark.createDataFrame(
+        [("Q1", "ransomware incident response"),
+         ("Q2", "phishing email credential theft")],
+        "query_id string, query_text string",
+    )
+    sig = with_lsh_signatures(
+        encode_text(docs), 8, 4, 42, id_col="doc_id", vec_col="vec", dim=DIM
+    ).cache()
+    try:
+        out = hybrid_rrf_ann(
+            docs, qs, build_index(docs), k=10, k_each=20, sig_docs=sig
+        ).collect()
+        t = {(r["query_id"], r["doc_id"]): r["rank"]
+             for r in bm25_topk(build_index(docs), qs, k=20).collect()}
+        v = {(r["query_id"], r["doc_id"]): r["rank"]
+             for r in lsh_ann_topk_batch(
+                 sig,
+                 [(r["query_id"], encode_py(r["query_text"]))
+                  for r in qs.collect()],
+                 k=20, id_col="doc_id", vec_col="vec").collect()}
+        assert len(out) > 0
+        for r in out:
+            key = (r["query_id"], r["doc_id"])
+            want = 0.0
+            if key in t:
+                want += 1.0 / (60 + t[key])
+            if key in v:
+                want += 1.0 / (60 + v[key])
+            assert abs(r["rrf"] - round(want, 9)) < 1e-12, key
+            assert 1 <= r["rank"] <= 10
+    finally:
+        sig.unpersist()

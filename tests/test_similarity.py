@@ -185,3 +185,44 @@ def test_embedding_dup_pairs_production_params(spark):
         got.add((r["id_a"], r["id_b"]))
     recall = len(got & planted) / len(planted)
     assert recall >= 0.85, (recall, len(planted))
+
+
+def test_lsh_ann_topk_batch_matches_per_query(spark, emb, emb_np):
+    """The batched signature-equi-join path must return EXACTLY the
+    per-query lsh_ann_topk results (same candidates, cosines, ranks)
+    for every query in the batch."""
+    ids, mat = emb_np
+    qids = [0, 7, 13]
+    sigdf = similarity.with_lsh_signatures(emb, 8, 4, 42, dim=64).cache()
+    try:
+        batch = similarity.lsh_ann_topk_batch(
+            sigdf,
+            [(f"q{q}", list(mat[ids == q][0])) for q in qids],
+            k=10,
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["cos"])
+            )
+        for q in qids:
+            single = similarity.lsh_ann_topk(
+                emb, list(mat[ids == q][0]), k=10, signatures=sigdf
+            ).collect()
+            want = [
+                (i + 1, r["vec_id"], r["score"]) for i, r in enumerate(single)
+            ]
+            assert sorted(got[f"q{q}"]) == want, q
+    finally:
+        sigdf.unpersist()
+
+
+def test_lsh_ann_topk_batch_plan_is_equi_join(spark, emb):
+    """Candidate generation must be a broadcast EQUI-join on (tbl, s) —
+    never a nested-loop OR-of-signature-columns, never a cartesian."""
+    sigdf = similarity.with_lsh_signatures(emb, 8, 4, 42, dim=64)
+    df = similarity.lsh_ann_topk_batch(sigdf, [("q", [0.1] * 64)], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
