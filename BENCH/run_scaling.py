@@ -16,10 +16,11 @@ BENCH/scaling.json under pairs_<N>_vs_<4N> so several N->4N datapoints
 accumulate (the criterion should not rest on a single pair).
 
 Usage: python BENCH/run_scaling.py [N] [replicate] [pairs]
-  N default 2; keep BOTH levels inside the single socket's
-  memory-bandwidth envelope (<=16 string-processing cores on this box —
-  see scaling.json note) or the efficiency measures the bus, not the
-  engine's parallel structure.
+  N default 1 — the CRITERION pair is 1 -> 4 (pinned round 5, a
+  priori: both levels sit in the flat region of the single socket's
+  memory-bandwidth curve; see BENCH/BASELINE.md "Criterion pair").
+  2 -> 8 remains a recorded diagnostic; 3 -> 12 / 4 -> 16 are
+  bus-bound on this host and never the gate.
 """
 
 from __future__ import annotations
@@ -31,6 +32,9 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "scaling.json")
+# the pinned criterion pair's N (round 5): the headline block of
+# scaling.json follows THIS pair; other N values record as datapoints
+PRIMARY_N = 1
 
 
 def run_one(cpus: int, rep: int) -> dict:
@@ -52,7 +56,7 @@ def run_one(cpus: int, rep: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else PRIMARY_N
     rep = int(sys.argv[2]) if len(sys.argv) > 2 else 288
     n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
@@ -89,8 +93,9 @@ def main() -> None:
         "throughput_at_4n": best_4n,
         "scaling_efficiency": eff,
     }
-    # headline stays the first-recorded pair unless this one is the same N
-    if doc.get("n_cores") in (None, n):
+    # headline follows the PINNED criterion pair (BENCH/BASELINE.md
+    # "Criterion pair", set before the round-5 measurement)
+    if n == PRIMARY_N or doc.get("n_cores") is None:
         doc.update({
             "n_cores": n,
             "four_n_cores": 4 * n,

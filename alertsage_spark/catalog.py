@@ -55,41 +55,50 @@ def register(name: str, sql: str | None = None):
 # simple aggs/windows — driver-green in r01 AND r02) rotate to the
 # back; they remain covered by tests/test_catalog_oracle.py.
 _DRIVER_WINDOW: list[str] = [
-    # -- round-3 late additions: oracled + locally green but NEVER had a
-    # driver row (they landed after the r3 window was pinned) --
-    "ft_search_facets", "ft_bm25f_topk", "ft_query_language",
-    "ft_term_autocomplete", "ft_bm25_lsm_relview",
-    # -- new this round (all oracled; never driver-checked) --
-    "sim_text_encode_dup_pairs", "mm_extract_features",
-    "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
-    "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
-    "stream_dedup_exact", "ft_hybrid_rrf", "pipe_heavy_hitters_cms",
+    # -- new this round (never driver-checked): real audio codec,
+    # ANN-legged hybrid, first-fit packing promoted rows-only -> ORACLE --
+    "mm_audio_stats", "ft_hybrid_rrf_ann", "pipe_pack_sequences",
     # -- re-certify entries whose engine paths changed this round:
-    # fuzzy (r3-advisory '' analysis — resolved as bounded-by-alphabet,
-    # no code change needed in the end), connected components (pointer
-    # jumping), streaming ingest (batch-id sidecar), code serving
-    # (term-row LRU) --
-    "ft_fuzzy_suggest", "dedup_components", "dedup_survivors",
-    "ft_stream_ingest_bm25", "ft_bm25_code_topk",
-    # -- r3-green entries retained for ongoing coverage --
-    "ft_hallucinated_iocs", "ft_build_invariants",
-    "rel_setops", "rel_distinct_pairs", "rel_scalar_strfuncs",
-    "rel_readonly_sql_api", "rel_agg_salted", "rel_join_salted",
-    "rel_agg_percentiles", "rel_scalar_subquery", "rel_window_ntile",
-    "rel_sessionize", "stream_time_window", "stream_sessionize",
-    "io_jsonl_roundtrip", "io_csv_roundtrip",
-    "sim_dup_pairs_prod", "ft_phrase_search",
-    "pipe_decontaminate", "pipe_split_train_val", "pipe_repetition_filter",
-    "ft_boolean_search", "ft_snippet_topdocs",
-    "ft_substring_search", "ft_prefix_search",
+    # vectorized encode kernel (both encode consumers), single-scan CMS
+    # build, and the serving-snapshot semantics change in segments.py
+    # via every segment-served BM25 form (stream-ingested, code-mode,
+    # LSM relview, delete-merge) --
+    "sim_text_encode_dup_pairs", "ft_hybrid_rrf", "pipe_heavy_hitters_cms",
+    "ft_stream_ingest_bm25", "ft_bm25_code_topk", "ft_bm25_lsm_relview",
+    "ft_lsm_delete_merge",
+    # -- staleness rotation tranche A (r4 verdict task 7): the 16
+    # entries rotated out in r4 (last driver row r3) come back in --
+    "ft_clean_text", "ft_sanitize_text", "ft_lenient_json",
+    "ft_siem_patterns", "ft_keyword_gate", "ft_extract_iocs",
+    "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
+    "ft_normalize_label", "rel_regexp_extract", "rel_topk_offset",
+    "rel_topk_most_common", "rel_json_extract", "rel_date_arith",
+    "rel_comment_filter",
+    # -- staleness rotation tranche B: r1/r2-green basics whose last
+    # driver row is now 3 rounds old --
+    "rel_filter_eq", "rel_filter_range", "rel_filter_dates",
+    "rel_filter_like", "rel_filter_inlist", "rel_filter_compound",
+    "rel_join_left", "rel_join_chain", "rel_join_semi", "rel_join_anti",
+    "rel_join_topk", "rel_agg_label_counts", "rel_agg_count_avg",
+    "rel_agg_minmax", "rel_agg_multikey", "rel_agg_conditional",
+    "rel_agg_distinct", "rel_agg_banding", "rel_window_topk_group",
+    "rel_window_running",
     # -- keep-set: flagship entries that must stay driver-verified.
-    # Rotated out for r4 (ALL r3-driver-green, still locally
-    # oracle-checked by tests/test_catalog_oracle.py): ft_clean_text,
-    # ft_sanitize_text, ft_lenient_json, ft_siem_patterns,
-    # ft_keyword_gate, ft_extract_iocs, ft_mitre_ids, ft_risk_score,
-    # ft_uncertainty_band, ft_normalize_label, rel_regexp_extract,
-    # rel_topk_offset, rel_topk_most_common, rel_json_extract,
-    # rel_date_arith, rel_comment_filter. --
+    # Rotated out for r5 (ALL r4-driver-green, still locally
+    # oracle-checked by tests/test_catalog_oracle.py): ft_search_facets,
+    # ft_bm25f_topk, ft_query_language, ft_term_autocomplete,
+    # mm_extract_features, mm_resize_stats, sim_ann_lsh_recall,
+    # sim_ann_ivf_recall, ft_boolean_lsm, ft_substring_lsm,
+    # stream_dedup_exact, ft_fuzzy_suggest, dedup_components,
+    # dedup_survivors, ft_hallucinated_iocs, ft_build_invariants,
+    # rel_setops, rel_distinct_pairs, rel_scalar_strfuncs,
+    # rel_readonly_sql_api, rel_agg_salted, rel_join_salted,
+    # rel_agg_percentiles, rel_scalar_subquery, rel_window_ntile,
+    # rel_sessionize, stream_time_window, stream_sessionize,
+    # io_jsonl_roundtrip, io_csv_roundtrip, sim_dup_pairs_prod,
+    # ft_phrase_search, pipe_decontaminate, pipe_split_train_val,
+    # pipe_repetition_filter, ft_boolean_search, ft_snippet_topdocs,
+    # ft_substring_search, ft_prefix_search. --
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 ]
@@ -2903,23 +2912,83 @@ def pipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipe_pack_sequences")  # rows-only: greedy packing isn't SQL
+def _pack_oracle_sql(cap: int = 512, n_shards: int = 8) -> str:
+    """Sequential greedy first-fit REPLAYED in SQL (r4 verdict task 6):
+    a recursive CTE walks each shard's docs in doc_id order carrying the
+    open-bin load and count lists as state; the first fitting bin index
+    comes from list_min(list_filter(...)), append otherwise — exactly
+    the operator's transition function. Bounded: state rows = docs per
+    shard, lists = open bins (fixture scale ~60 docs/shard)."""
+    return f"""
+WITH RECURSIVE {_TOKS_CTE.strip()},
+pdocs AS (
+  SELECT doc_id % {n_shards} AS shard, dl AS n,
+         row_number() OVER (PARTITION BY doc_id % {n_shards}
+                            ORDER BY doc_id) AS rn
+  FROM doclen
+),
+st AS (
+  SELECT shard, CAST(0 AS BIGINT) AS idx,
+         CAST([] AS BIGINT[]) AS u, CAST([] AS BIGINT[]) AS c
+  FROM (SELECT DISTINCT shard FROM pdocs)
+  UNION ALL
+  SELECT shard, idx,
+         CASE WHEN pos IS NULL THEN list_append(u, n)
+              ELSE list_transform(range(1, len(u) + 1),
+                   j -> CASE WHEN j = pos THEN u[j] + n ELSE u[j] END) END AS u,
+         CASE WHEN pos IS NULL THEN list_append(c, CAST(1 AS BIGINT))
+              ELSE list_transform(range(1, len(c) + 1),
+                   j -> CASE WHEN j = pos THEN c[j] + 1 ELSE c[j] END) END AS c
+  FROM (
+    SELECT d.shard, s.idx + 1 AS idx, s.u, s.c, d.n,
+           list_min(list_filter(range(1, len(s.u) + 1),
+                    j -> s.u[j] + d.n <= {cap})) AS pos
+    FROM st s JOIN pdocs d ON d.shard = s.shard AND d.rn = s.idx + 1
+  )
+),
+fin AS (
+  SELECT shard, u, c FROM (
+    SELECT shard, u, c,
+           row_number() OVER (PARTITION BY shard ORDER BY idx DESC) AS rnk
+    FROM st) WHERE rnk = 1
+),
+bins AS (
+  SELECT shard, j - 1 AS local, u[CAST(j AS INTEGER)] AS total,
+         c[CAST(j AS INTEGER)] AS ndocs
+  FROM fin, unnest(range(1, len(u) + 1)) AS t(j)
+)
+SELECT CAST(shard * 4294967296 + local AS BIGINT) AS bin_id,
+       CAST(shard AS INTEGER) AS shard_id,
+       CAST(ndocs AS BIGINT) AS n_docs,
+       CAST(total AS BIGINT) AS total_tokens,
+       total / CAST({cap} AS DOUBLE) AS fill_ratio
+FROM bins ORDER BY bin_id
+"""
+
+
+@register("pipe_pack_sequences", _pack_oracle_sql())
 def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sample packing: greedy first-fit of documents into
     fixed-capacity token bins (context-window packing — the op that
-    turns a filtered corpus into dense training batches). Deterministic:
-    docs are hash-routed to shards, packed in doc_id order per shard;
-    exactness pinned by tests/test_pipeline_ops.py. Scale shape: one
-    narrow shuffle on shard, per-shard greedy in an Arrow batch, bin
-    stats out — no global coordination (bins never span shards, matching
-    how packing runs per-worker in real loaders)."""
+    turns a filtered corpus into dense training batches), now ORACLE-
+    certified: the DuckDB recursive CTE replays sequential first-fit per
+    shard, so a hash-green row pins bin membership, loads, counts and
+    fill ratios exactly. Routing here is id % n so SQL can replicate the
+    shards; the operator's default (scale path) is pmod(xxhash64) —
+    packing semantics identical, both routings test-covered. Scale
+    shape: one narrow shuffle on shard, per-shard greedy in an Arrow
+    batch, bin stats out — no global coordination (bins never span
+    shards, matching how packing runs per-worker in real loaders)."""
     from alertsage_spark.operators.packing import pack_sequences
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.size(tokenize_col(F.col("text"))).alias("n_tokens")
     )
-    return pack_sequences(toks, capacity=512, n_shards=8).orderBy("bin_id")
+    return pack_sequences(
+        toks, capacity=512, n_shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    ).orderBy("bin_id")
 
 
 # --- streaming-ingested index, driver-oracled (§2.10 meets §4.2) ---

@@ -20,8 +20,22 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _shard_col(
+    shard_expr: Column | None, id_col: str, n_shards: int
+) -> Column:
+    """Default routing is pmod(xxhash64(id), n_shards) — balanced even
+    under skewed/clustered id ranges, the right choice at scale. An
+    explicit ``shard_expr`` swaps it (catalog.pipe_pack_sequences routes
+    by id % n so the DuckDB oracle can replicate the shards exactly;
+    packing semantics are identical either way and both routings are
+    test-covered)."""
+    if shard_expr is not None:
+        return shard_expr.cast("int")
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
 
 
 def pack_sequences(
@@ -30,6 +44,7 @@ def pack_sequences(
     n_shards: int = 64,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    shard_expr: Column | None = None,
 ) -> DataFrame:
     """``doc_tokens``: (doc_id, n_tokens). Returns one row per bin:
     (bin_id, shard_id, n_docs, total_tokens, fill_ratio)."""
@@ -54,14 +69,19 @@ def pack_sequences(
                 "shard_id": shard_id,
                 "n_docs": [c for _u, c in bins],
                 "total_tokens": [u for u, _c in bins],
-                "fill_ratio": [round(u / cap, 5) for u, _c in bins],
+                # raw u/cap, NOT round(u/cap, 5): one IEEE divide of the
+                # same two integers is bit-identical across engines,
+                # while Python round is half-even vs SQL half-away (u
+                # ≡ 8 mod 16 at cap=512 lands exactly on a .5 tail and
+                # would diverge)
+                "fill_ratio": [u / cap for u, _c in bins],
             }
         )
 
     sharded = doc_tokens.select(
         F.col(id_col),
         F.col(tokens_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        _shard_col(shard_expr, id_col, n_shards).alias("shard"),
     )
     return sharded.groupBy("shard").applyInPandas(
         pack,
@@ -75,6 +95,7 @@ def pack_assignments(
     n_shards: int = 64,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    shard_expr: Column | None = None,
 ) -> DataFrame:
     """Same greedy packing, but returns the per-document assignment
     (doc_id, bin_id) — the form a loader consumes."""
@@ -102,7 +123,7 @@ def pack_assignments(
     sharded = doc_tokens.select(
         F.col(id_col),
         F.col(tokens_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        _shard_col(shard_expr, id_col, n_shards).alias("shard"),
     )
     return sharded.groupBy("shard").applyInPandas(
         pack, schema="doc_id long, bin_id long"

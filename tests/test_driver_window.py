@@ -12,27 +12,33 @@ DRIVER_WINDOW_SIZE = 50
 # Oracled entries that have never had a driver row — these MUST sit
 # inside the window until a CORRECTNESS_r0x gives them a green row
 # (then they may rotate out like the rel_filter_* basics did).
-# r4 composition: the five round-3 late additions + the five round-4
-# additions.
+# r5 composition: audio codec, ANN-legged hybrid, and the packing entry
+# newly promoted rows-only -> ORACLE.
 NEVER_DRIVER_CHECKED = {
-    # round-3 late additions (registered behind the r3 window)
-    "ft_search_facets", "ft_bm25f_topk", "ft_query_language",
-    "ft_term_autocomplete", "ft_bm25_lsm_relview",
-    # round-4 additions
-    "sim_text_encode_dup_pairs", "mm_extract_features",
-    "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_lsm_delete_merge",
-    "ft_boolean_lsm", "ft_substring_lsm", "mm_resize_stats",
-    "stream_dedup_exact", "ft_hybrid_rrf", "pipe_heavy_hitters_cms",
+    "mm_audio_stats", "ft_hybrid_rrf_ann", "pipe_pack_sequences",
 }
 
-# Entries whose ENGINE PATHS changed in round 4 — keep them in the
+# Entries whose ENGINE PATHS changed in round 5 — keep them in the
 # window this round so the driver re-certifies the changed code:
-# pointer-jumping components, streaming batch-id sidecar, serving
-# term-row LRU (fuzzy's r3-advisory '' concern resolved as
-# bounded-by-alphabet with no final code change; kept for coverage).
+# vectorized encode kernel, single-scan CMS build, and the
+# prepare_for_queries snapshot-semantics change (segments.py) via every
+# segment-served BM25 form.
 RECERTIFY_THIS_ROUND = {
-    "ft_fuzzy_suggest", "dedup_components", "dedup_survivors",
-    "ft_stream_ingest_bm25", "ft_bm25_code_topk",
+    "sim_text_encode_dup_pairs", "ft_hybrid_rrf", "pipe_heavy_hitters_cms",
+    "ft_stream_ingest_bm25", "ft_bm25_code_topk", "ft_bm25_lsm_relview",
+    "ft_lsm_delete_merge",
+}
+
+# Staleness rotation (r4 verdict task 7: no entry's last driver row may
+# go stale beyond ~2 rounds): the full 16-entry set rotated out in r4
+# (last row r3) must be back inside this round.
+ROTATED_BACK_IN_R5 = {
+    "ft_clean_text", "ft_sanitize_text", "ft_lenient_json",
+    "ft_siem_patterns", "ft_keyword_gate", "ft_extract_iocs",
+    "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
+    "ft_normalize_label", "rel_regexp_extract", "rel_topk_offset",
+    "rel_topk_most_common", "rel_json_extract", "rel_date_arith",
+    "rel_comment_filter",
 }
 
 # Flagship entries that must never leave the window (baseline targets).
@@ -41,16 +47,24 @@ MUST_KEEP = {
     "ft_taat_topk_refqueries", "ft_sha256_fidelity",
 }
 
-# Oracled entries currently rotated OUT (driver-green in r3, still
+# Oracled entries currently rotated OUT (ALL driver-green in r4, still
 # locally replicated by tests/test_catalog_oracle.py). Nothing may be
 # rotated out without a prior green driver row.
-ROTATED_OUT_R4 = {
-    "ft_clean_text", "ft_sanitize_text", "ft_lenient_json",
-    "ft_siem_patterns", "ft_keyword_gate", "ft_extract_iocs",
-    "ft_mitre_ids", "ft_risk_score", "ft_uncertainty_band",
-    "ft_normalize_label", "rel_regexp_extract", "rel_topk_offset",
-    "rel_topk_most_common", "rel_json_extract", "rel_date_arith",
-    "rel_comment_filter",
+ROTATED_OUT_R5 = {
+    "ft_search_facets", "ft_bm25f_topk", "ft_query_language",
+    "ft_term_autocomplete", "mm_extract_features", "mm_resize_stats",
+    "sim_ann_lsh_recall", "sim_ann_ivf_recall", "ft_boolean_lsm",
+    "ft_substring_lsm", "stream_dedup_exact", "ft_fuzzy_suggest",
+    "dedup_components", "dedup_survivors", "ft_hallucinated_iocs",
+    "ft_build_invariants", "rel_setops", "rel_distinct_pairs",
+    "rel_scalar_strfuncs", "rel_readonly_sql_api", "rel_agg_salted",
+    "rel_join_salted", "rel_agg_percentiles", "rel_scalar_subquery",
+    "rel_window_ntile", "rel_sessionize", "stream_time_window",
+    "stream_sessionize", "io_jsonl_roundtrip", "io_csv_roundtrip",
+    "sim_dup_pairs_prod", "ft_phrase_search", "pipe_decontaminate",
+    "pipe_split_train_val", "pipe_repetition_filter",
+    "ft_boolean_search", "ft_snippet_topdocs", "ft_substring_search",
+    "ft_prefix_search",
 }
 
 
@@ -74,12 +88,13 @@ def test_first_50_cover_unverified_and_flagships():
     fset = set(first)
     assert NEVER_DRIVER_CHECKED <= fset, sorted(NEVER_DRIVER_CHECKED - fset)
     assert RECERTIFY_THIS_ROUND <= fset, sorted(RECERTIFY_THIS_ROUND - fset)
+    assert ROTATED_BACK_IN_R5 <= fset, sorted(ROTATED_BACK_IN_R5 - fset)
     assert MUST_KEEP <= fset, sorted(MUST_KEEP - fset)
 
 
 def test_rotated_out_entries_still_registered_and_oracled():
     q, o = catalog.queries(), catalog.oracle_sql()
-    for name in ROTATED_OUT_R4:
+    for name in ROTATED_OUT_R5:
         assert name in q and name in o, name
 
 
