@@ -81,8 +81,13 @@ _DRIVER_WINDOW: list[str] = [
     "rel_join_left", "rel_join_chain", "rel_join_semi", "rel_join_anti",
     "rel_join_topk", "rel_agg_label_counts", "rel_agg_count_avg",
     "rel_agg_minmax", "rel_agg_multikey", "rel_agg_conditional",
-    "rel_agg_distinct", "rel_agg_banding", "rel_window_topk_group",
-    "rel_window_running",
+    "rel_window_topk_group", "rel_window_running",
+    # -- rows-only -> ORACLE promotions (r5): first-ever HASH rows for
+    # the LSH ANN top-k and the LSH near-dup pair generation (their
+    # oracles replicate the plane matrix + bucket joins exactly;
+    # rel_agg_distinct / rel_agg_banding yield their tranche-B slots,
+    # still locally oracle-replicated) --
+    "sim_ann_lsh_topk", "sim_dup_pairs",
     # -- keep-set: flagship entries that must stay driver-verified.
     # Rotated out for r5 (ALL r4-driver-green, still locally
     # oracle-checked by tests/test_catalog_oracle.py): ft_search_facets,
@@ -928,16 +933,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, list(qvec), k=10)
 
 
-@register("sim_ann_lsh_topk")  # rows-only: approximate by construction
+@register("sim_ann_lsh_topk")  # oracle attached below (r5): the op is
+# deterministic end to end, so the oracle replicates planes ->
+# signatures -> collision -> candidate-only ranking exactly
+# (_ann_lsh_topk_oracle_sql, defined with the other ANN oracles)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (the scale path; recall vs brute force
-    is asserted in tests/test_similarity.py)."""
+    is asserted in tests/test_similarity.py and ORACLE-measured by
+    sim_ann_lsh_recall; since r5 the returned top-k itself is
+    hash-certified too)."""
     emb = tbl(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.lsh_ann_topk(emb, list(qvec), k=10)
 
 
-@register("sim_dup_pairs")  # rows-only: LSH recall < 1 by construction
+@register("sim_dup_pairs")  # oracle attached below (r5): planes ->
+# signatures -> bucket self-join -> cosine>=t replicated exactly
+# (_dup_pairs_lsh_oracle_sql, defined with the other ANN oracles)
 def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (reference M5 semantics:
     sim >= threshold, /root/reference/src/triage/embeddings.py:147-164)
@@ -946,9 +958,11 @@ def sim_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     params recover only ~8% of all pairs (measured vs sim_dup_pairs_exact;
     the collision math in similarity.py predicts exactly that: sign-LSH
     is a HIGH-threshold structure). At the production setting
-    (threshold 0.90, b=16, t=32) predicted recall is ~0.94. Every
-    returned pair's cosine is exact (subset of sim_dup_pairs_exact,
-    probe-verified)."""
+    (threshold 0.90, b=16, t=32) predicted recall is ~0.94 — see
+    sim_dup_pairs_prod, where recall 1.0 makes brute force the oracle.
+    Since r5 THIS entry is oracle-certified too: the SQL replicates the
+    LSH candidate generation itself, so the hash pins exactly which
+    pairs the bucket join surfaces."""
     return similarity.embedding_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.30)
 
 
@@ -3352,6 +3366,52 @@ GROUP BY e.qid
 """
 
 
+def _ann_lsh_topk_oracle_sql(k: int = 10, qid: int = 0) -> str:
+    """Exact oracle for the LSH ANN top-k itself (r5: the op is fully
+    deterministic — seeded planes, fixed packing, fixed tie-break — so
+    'approximate by construction' never meant 'not oracle-able'; the
+    recall entry already replicated the candidate generation, this
+    replicates the returned ranking too)."""
+    planes = similarity.plane_matrix(64, 8, 4, 42)
+    rows = ",\n    ".join(
+        "({}, list_transform([{}], x -> CAST(x AS DOUBLE)))".format(
+            r, ", ".join(repr(float(x)) for x in planes[r])
+        )
+        for r in range(planes.shape[0])
+    )
+    return (
+        "WITH "
+        + _ANN_EMB_CTE.format(qids=str(qid))
+        + f""",
+planes AS (SELECT * FROM (VALUES
+    {rows}) AS t(r, p)),
+sig AS (
+  SELECT e.vec_id, CAST(pl.r // 4 AS INTEGER) AS tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pl.p, e.v),
+                        x -> x[1] * x[2])) > 0
+                  THEN (1 << (pl.r % 4)) ELSE 0 END) AS BIGINT) AS s
+  FROM emb e, planes pl
+  GROUP BY e.vec_id, pl.r // 4
+),
+qsig AS (SELECT vec_id AS qid, tbl, s FROM sig WHERE vec_id = {qid}),
+cand AS (
+  SELECT DISTINCT q.qid, s.vec_id
+  FROM qsig q JOIN sig s ON s.tbl = q.tbl AND s.s = q.s
+),
+annscore AS (
+  SELECT c.vec_id,
+         round(list_sum(list_transform(list_zip(e.v, q.qvec),
+               x -> x[1] * x[2])), 5) AS score
+  FROM cand c JOIN emb e USING (vec_id) JOIN qv q USING (qid)
+)
+SELECT vec_id, score FROM (
+  SELECT vec_id, score, row_number() OVER (
+    ORDER BY score DESC, vec_id ASC) AS rn
+  FROM annscore) WHERE rn <= {k}
+"""
+    )
+
+
 def _ann_lsh_recall_oracle_sql(k: int = 10) -> str:
     """The oracle REPLICATES sign-LSH candidate generation: the seeded
     plane matrix is embedded as double literals (repr round-trips
@@ -3442,6 +3502,60 @@ def _ann_recall_df(spark: SparkSession, results: list) -> DataFrame:
         pd.DataFrame(results, columns=["query_vec_id", "hits", "recall"]),
         "query_vec_id long, hits long, recall double",
     )
+
+
+def _dup_pairs_lsh_oracle_sql(
+    threshold: float = 0.30, n_tables: int = 4, bits: int = 8
+) -> str:
+    """Exact oracle for the LSH near-dup PAIR generation (r5): sign-LSH
+    with the 4x8 plane matrix replicated as double literals (sign margin
+    vs the embeddings fixture: min |plane . v| = 4.65e-6 at
+    sf0.001/0.01/0.1, zero exact-zero dots — measured before shipping),
+    bucket self-join on (tbl, s), distinct pairs, exact cosine >= t.
+    A hash match pins exactly which pairs the bucket join surfaces —
+    'recall < 1 by construction' never meant 'not deterministic'."""
+    planes = similarity.plane_matrix(64, n_tables, bits, 42)
+    rows = ",\n    ".join(
+        "({}, list_transform([{}], x -> CAST(x AS DOUBLE)))".format(
+            r, ", ".join(repr(float(x)) for x in planes[r])
+        )
+        for r in range(planes.shape[0])
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+planes AS (SELECT * FROM (VALUES
+    {rows}) AS t(r, p)),
+sig AS (
+  SELECT e.vec_id, CAST(pl.r // {bits} AS INTEGER) AS tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pl.p, e.v),
+                        x -> x[1] * x[2])) > 0
+                  THEN (1 << (pl.r % {bits})) ELSE 0 END) AS BIGINT) AS s
+  FROM emb e, planes pl
+  GROUP BY e.vec_id, pl.r // {bits}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.s = b.s AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_sum(list_transform(list_zip(ea.v, eb.v),
+             x -> x[1] * x[2])), 5) AS cosine
+FROM cand c
+JOIN emb ea ON ea.vec_id = c.id_a
+JOIN emb eb ON eb.vec_id = c.id_b
+WHERE round(list_sum(list_transform(list_zip(ea.v, eb.v),
+            x -> x[1] * x[2])), 5) >= {threshold}
+"""
+
+
+# late-attach (r5): these entries register above (file order is
+# topical) but their oracles need the ANN builders in this section
+_ORACLE["sim_ann_lsh_topk"] = _ann_lsh_topk_oracle_sql()
+_ORACLE["sim_dup_pairs"] = _dup_pairs_lsh_oracle_sql()
 
 
 @register("sim_ann_lsh_recall", _ann_lsh_recall_oracle_sql())
@@ -3800,7 +3914,8 @@ def ft_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _rel_code_index_for(spark, sf_dir)
     pats = spark.createDataFrame(_SUBSTR_QUERIES, "query_id string, pattern string")
     return pattern_search(
-        idx, tbl(spark, sf_dir, "documents"), pats, match="contains"
+        idx, tbl(spark, sf_dir, "documents"), pats, match="contains",
+        pattern_list=[p for _q, p in _SUBSTR_QUERIES],
     ).orderBy("query_id", "doc_id")
 
 
@@ -3814,7 +3929,8 @@ def ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _rel_code_index_for(spark, sf_dir)
     pats = spark.createDataFrame(_PREFIX_QUERIES, "query_id string, pattern string")
     return pattern_search(
-        idx, tbl(spark, sf_dir, "documents"), pats, match="prefix"
+        idx, tbl(spark, sf_dir, "documents"), pats, match="prefix",
+        pattern_list=[p for _q, p in _PREFIX_QUERIES],
     ).orderBy("query_id", "doc_id")
 
 
@@ -4079,4 +4195,5 @@ def ft_substring_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv, tbl(spark, sf_dir, "documents"), pats, match="contains",
         postings_presliced=True,  # the as_inverted_index slice above IS
         # the same term set pattern_search would re-filter by
+        pattern_list=[p for _q, p in _SUBSTR_QUERIES],
     ).orderBy("query_id", "doc_id")

@@ -77,6 +77,7 @@ def pattern_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings_presliced: bool = False,
+    pattern_list: list[str] | None = None,
 ) -> DataFrame:
     """Docs with >= 1 token matching each pattern.
 
@@ -94,8 +95,16 @@ def pattern_search(
     if index.mode != "code":
         raise ValueError("pattern_search needs a code-mode index (trigram terms)")
     # ONE driver action serves both validation and the slice derivation
-    # (patterns are query-side tiny by construction)
-    plist = [r["pattern"] for r in patterns.select("pattern").distinct().collect()]
+    # (patterns are query-side tiny by construction); callers that
+    # already hold the pattern strings pass pattern_list to skip the
+    # per-call Spark job entirely (~0.3 s of pure scheduling at bench
+    # scale)
+    if pattern_list is not None:
+        plist = sorted(set(pattern_list))
+    else:
+        plist = [
+            r["pattern"] for r in patterns.select("pattern").distinct().collect()
+        ]
     bad = [p for p in plist if p is None or len(p) < MIN_PATTERN_LEN or " " in p]
     if bad:
         raise ValueError(f"pattern too short or contains spaces: {bad[0]!r}")

@@ -16,6 +16,8 @@ DRIVER_WINDOW_SIZE = 50
 # newly promoted rows-only -> ORACLE.
 NEVER_DRIVER_CHECKED = {
     "mm_audio_stats", "ft_hybrid_rrf_ann", "pipe_pack_sequences",
+    # had rows-only driver rows before; first ORACLE rows this round
+    "sim_ann_lsh_topk", "sim_dup_pairs",
 }
 
 # Entries whose ENGINE PATHS changed in round 5 — keep them in the
