@@ -121,29 +121,50 @@ def pattern_search(
     if not postings_presliced:
         postings = postings.filter(F.col("term").isin(pattern_slice_terms(plist)))
 
+    # ONE probe relation carries both candidate branches — each pattern's
+    # trigrams (kind 'tri') and the pattern itself as an exact token
+    # (kind 'exact', the completeness branch for 3-char tokens, which
+    # emit no trigrams). The terms are disjoint by construction (trigram
+    # terms carry the '#' prefix), so one postings join + ONE hash-agg
+    # per (query, pattern, doc) replaces the former join+agg+join+union+
+    # distinct chain (r5: two fewer shuffles; the union's distinct is
+    # subsumed by the groupBy). Candidate rule unchanged and still
+    # provably complete: ALL trigrams present OR the exact token posted.
     ptri = patterns.select(
         "query_id",
         "pattern",
         F.explode(_pattern_trigrams(F.col("pattern"))).alias("term"),
+        F.lit("tri").alias("kind"),
     )
     n_tri = ptri.groupBy("query_id", "pattern").agg(
         F.count_distinct("term").alias("n_tri")
     )
-    cand_tri = (
-        F.broadcast(ptri)
+    probes = ptri.unionByName(
+        patterns.select(
+            "query_id",
+            "pattern",
+            F.col("pattern").alias("term"),
+            F.lit("exact").alias("kind"),
+        )
+    )
+    cands = (
+        F.broadcast(probes)
         .join(postings, "term")
         .groupBy("query_id", "pattern", "doc_id")
-        .agg(F.count_distinct("term").alias("hit_tri"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("kind") == "tri", F.col("term"))
+            ).alias("hit_tri"),
+            F.max(
+                F.when(F.col("kind") == "exact", F.lit(1)).otherwise(F.lit(0))
+            ).alias("hit_exact"),
+        )
         .join(F.broadcast(n_tri), ["query_id", "pattern"])
-        .filter(F.col("hit_tri") == F.col("n_tri"))
+        .filter(
+            (F.col("hit_tri") == F.col("n_tri")) | (F.col("hit_exact") == 1)
+        )
         .select("query_id", "pattern", "doc_id")
     )
-    cand_exact = (
-        F.broadcast(patterns.withColumn("term", F.col("pattern")))
-        .join(postings, "term")
-        .select("query_id", "pattern", "doc_id")
-    )
-    cands = cand_tri.unionByName(cand_exact).distinct()
 
     pred = F.contains if match == "contains" else F.startswith
     # semi-join FIRST, tokenize AFTER: the verify re-tokenizes ONLY the
