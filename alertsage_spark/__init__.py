@@ -72,6 +72,7 @@ def __getattr__(name):  # PEP 562
         "encode_wav": "alertsage_spark.operators.wav",
         "decode_wav": "alertsage_spark.operators.wav",
         "decode_audio_stats": "alertsage_spark.operators.multimodal",
+        "with_lsh_signatures": "alertsage_spark.operators.similarity",
     }
     if name in _API:
         import importlib

@@ -79,7 +79,7 @@ _DRIVER_WINDOW: list[str] = [
     "rel_filter_eq", "rel_filter_range", "rel_filter_dates",
     "rel_filter_like", "rel_filter_inlist", "rel_filter_compound",
     "rel_join_left", "rel_join_chain", "rel_join_semi", "rel_join_anti",
-    "rel_join_topk", "rel_agg_label_counts", "rel_agg_count_avg",
+    "rel_agg_label_counts", "rel_agg_count_avg",
     "rel_agg_minmax", "rel_agg_multikey", "rel_agg_conditional",
     "rel_window_topk_group", "rel_window_running",
     # -- rows-only -> ORACLE promotions (r5): first-ever HASH rows for
@@ -88,6 +88,9 @@ _DRIVER_WINDOW: list[str] = [
     # rel_agg_distinct / rel_agg_banding yield their tranche-B slots,
     # still locally oracle-replicated) --
     "sim_ann_lsh_topk", "sim_dup_pairs",
+    # -- late r5 addition: production-index WAND leg + ANN leg fused
+    # (rel_join_topk yields its slot, still locally oracle-replicated) --
+    "ft_hybrid_rrf_segwand",
     # -- keep-set: flagship entries that must stay driver-verified.
     # Rotated out for r5 (ALL r4-driver-green, still locally
     # oracle-checked by tests/test_catalog_oracle.py): ft_search_facets,
@@ -480,6 +483,44 @@ def ft_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         k_each=20,
         sig_docs=_ENC_CACHE[skey],
+    )
+
+
+@register("ft_hybrid_rrf_segwand", _hybrid_oracle_sql(ann=True))
+def ft_hybrid_rrf_segwand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production composition of hybrid retrieval: text leg =
+    block-max WAND over the COMPRESSED delta+varbyte segment index,
+    vector leg = batched sign-LSH ANN, fused by RRF. Shares
+    ft_hybrid_rrf_ann's oracle verbatim — WAND is rank-identical to the
+    exact BM25 the oracle computes (the flagship certificate), and RRF
+    consumes only ranks, so one hash certifies that the production
+    index's ranking composes with the ANN leg bit-for-bit."""
+    from alertsage_spark.operators.encode import DIM, encode_text
+    from alertsage_spark.query.hybrid import hybrid_rrf_ann
+    from alertsage_spark.query.wand import wand_topk
+
+    seg = _segment_index_for(spark, sf_dir)
+    qs = [(cid, text) for cid, _l, text in REFERENCE_QUERIES]
+    text_ranked = wand_topk(spark, seg, qs, k=20, algo="auto").select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ekey = f"enc:{sf_dir}"
+    if ekey not in _ENC_CACHE:
+        _ENC_CACHE[ekey] = encode_text(docs).cache()
+    skey = f"sig:{sf_dir}"
+    if skey not in _ENC_CACHE:
+        _ENC_CACHE[skey] = similarity.with_lsh_signatures(
+            _ENC_CACHE[ekey], 8, 4, 42, id_col="doc_id", vec_col="vec", dim=DIM
+        ).cache()
+    return hybrid_rrf_ann(
+        docs,
+        queries_df(spark),
+        None,  # rel_index unused: the text leg is precomputed WAND
+        k=10,
+        k_each=20,
+        sig_docs=_ENC_CACHE[skey],
+        text_ranked=text_ranked,
     )
 
 

@@ -82,6 +82,7 @@ def hybrid_rrf_ann(
     bits_per_table: int = 4,
     seed: int = 42,
     sig_docs: DataFrame | None = None,
+    text_ranked: DataFrame | None = None,
 ) -> DataFrame:
     """hybrid_rrf with the vector leg on the sign-LSH ANN index instead
     of brute-force cosine (r4 verdict task 3: the ANN swap was claimed
@@ -94,16 +95,20 @@ def hybrid_rrf_ann(
     scales to corpora where brute force cannot run. sig_docs: a
     signature-carrying (doc_id, vec, sig_*) table from
     with_lsh_signatures at ingest (the production shape); computed
-    inline when omitted."""
+    inline when omitted. text_ranked: a precomputed
+    (query_id, doc_id, rank) lexical ranking — pass WAND output over
+    the compressed segment index for the full production composition
+    (catalog.ft_hybrid_rrf_segwand); defaults to BM25 over rel_index."""
     from alertsage_spark.operators.encode import DIM
     from alertsage_spark.operators.similarity import (
         lsh_ann_topk_batch,
         with_lsh_signatures,
     )
 
-    text_ranked = bm25_topk(rel_index, queries, k=k_each).select(
-        "query_id", "doc_id", "rank"
-    )
+    if text_ranked is None:
+        text_ranked = bm25_topk(rel_index, queries, k=k_each).select(
+            "query_id", "doc_id", "rank"
+        )
     if sig_docs is None:
         enc_d = enc_docs if enc_docs is not None else encode_text(docs)
         sig_docs = with_lsh_signatures(

@@ -18,6 +18,8 @@ NEVER_DRIVER_CHECKED = {
     "mm_audio_stats", "ft_hybrid_rrf_ann", "pipe_pack_sequences",
     # had rows-only driver rows before; first ORACLE rows this round
     "sim_ann_lsh_topk", "sim_dup_pairs",
+    # late r5: production-index WAND leg + ANN leg fused
+    "ft_hybrid_rrf_segwand",
 }
 
 # Entries whose ENGINE PATHS changed in round 5 — keep them in the
