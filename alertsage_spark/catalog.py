@@ -3953,10 +3953,9 @@ def ft_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertsage_spark.query.substring import pattern_search
 
     idx = _rel_code_index_for(spark, sf_dir)
-    pats = spark.createDataFrame(_SUBSTR_QUERIES, "query_id string, pattern string")
     return pattern_search(
-        idx, tbl(spark, sf_dir, "documents"), pats, match="contains",
-        pattern_list=[p for _q, p in _SUBSTR_QUERIES],
+        idx, tbl(spark, sf_dir, "documents"), list(_SUBSTR_QUERIES),
+        match="contains",
     ).orderBy("query_id", "doc_id")
 
 
@@ -3968,10 +3967,9 @@ def ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertsage_spark.query.substring import pattern_search
 
     idx = _rel_code_index_for(spark, sf_dir)
-    pats = spark.createDataFrame(_PREFIX_QUERIES, "query_id string, pattern string")
     return pattern_search(
-        idx, tbl(spark, sf_dir, "documents"), pats, match="prefix",
-        pattern_list=[p for _q, p in _PREFIX_QUERIES],
+        idx, tbl(spark, sf_dir, "documents"), list(_PREFIX_QUERIES),
+        match="prefix",
     ).orderBy("query_id", "doc_id")
 
 
@@ -4231,10 +4229,9 @@ def ft_substring_lsm(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = _code_index_for(spark, sf_dir)
     terms = pattern_slice_terms([p for _q, p in _SUBSTR_QUERIES])
     inv = seg.as_inverted_index(terms=terms)
-    pats = spark.createDataFrame(_SUBSTR_QUERIES, "query_id string, pattern string")
     return pattern_search(
-        inv, tbl(spark, sf_dir, "documents"), pats, match="contains",
+        inv, tbl(spark, sf_dir, "documents"), list(_SUBSTR_QUERIES),
+        match="contains",
         postings_presliced=True,  # the as_inverted_index slice above IS
         # the same term set pattern_search would re-filter by
-        pattern_list=[p for _q, p in _SUBSTR_QUERIES],
     ).orderBy("query_id", "doc_id")

@@ -102,7 +102,7 @@ def encode_text(
             counts = np.zeros((len(texts), dim), dtype=np.int64)
             big = "".join(texts)
             if len(big) >= n and texts:
-                codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+                codes = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
                 lens = np.fromiter(
                     (len(s) for s in texts), dtype=np.int64, count=len(texts)
                 )
@@ -125,7 +125,10 @@ def encode_text(
                     keys = keys[valid]
                     uniq = np.unique(keys)
                     inverse = np.searchsorted(uniq, keys)
-                    uc = np.empty((len(uniq), n), dtype=np.uint32)
+                    # "<u4" (not native uint32): tobytes() below is
+                    # decoded as utf-32-LE, so the array layout must be
+                    # explicitly little-endian to survive a BE host
+                    uc = np.empty((len(uniq), n), dtype="<u4")
                     for i in range(n):
                         uc[:, i] = (
                             (uniq >> np.uint64(21 * i)) & np.uint64(0x1FFFFF)
@@ -137,7 +140,7 @@ def encode_text(
                         np.dtype((np.void, win.dtype.itemsize * n))
                     ).ravel()
                     uniq, inverse = np.unique(void, return_inverse=True)
-                    uc = uniq.view(np.uint32).reshape(-1, n)
+                    uc = uniq.view("<u4").reshape(-1, n)
                 if len(uniq):
                     b = np.empty(len(uniq), dtype=np.int64)
                     sg = np.empty(len(uniq), dtype=np.int64)

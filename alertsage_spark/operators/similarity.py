@@ -241,6 +241,11 @@ def lsh_ann_topk_batch(
     loop OR-of-columns; candidates dedup with one hash-agg; scoring
     touches candidate vectors only. No driver loop over queries (the
     single-query lsh_ann_topk would launch |Q| jobs)."""
+    qids = [q for q, _v in queries]
+    if len(set(qids)) != len(qids):
+        # a duplicated query_id would fan out through the qv join and
+        # fill the per-query rank window with duplicate docs
+        raise ValueError(f"duplicate query_id in batch: {sorted(qids)}")
     qsig_rows = []
     qv_rows = []
     for qid, qvec in queries:

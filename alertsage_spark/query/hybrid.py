@@ -111,10 +111,16 @@ def hybrid_rrf_ann(
         )
     if sig_docs is None:
         enc_d = enc_docs if enc_docs is not None else encode_text(docs)
+        # cache: lsh_ann_topk_batch consumes the signature table TWICE
+        # (signature unpivot + vector projection) — uncached, the whole
+        # encode+signature mapInPandas chain would execute twice per
+        # action. Production callers pass a stored sig_docs instead
+        # (and own its lifecycle); this inline fallback keeps the cache
+        # for the session.
         sig_docs = with_lsh_signatures(
             enc_d, n_tables, bits_per_table, seed,
             id_col="doc_id", vec_col="vec", dim=DIM,
-        )
+        ).cache()
     qlist = [
         (r["query_id"], encode_py(r["query_text"])) for r in queries.collect()
     ]

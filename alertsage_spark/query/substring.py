@@ -72,19 +72,25 @@ def _pattern_trigrams(col):
 def pattern_search(
     index: InvertedIndex,
     docs: DataFrame,
-    patterns: DataFrame,
+    patterns,
     match: str = "contains",
     id_col: str = "doc_id",
     text_col: str = "text",
     postings_presliced: bool = False,
-    pattern_list: list[str] | None = None,
 ) -> DataFrame:
     """Docs with >= 1 token matching each pattern.
 
     index:    code-mode index (mode='code'; its '#' trigram postings are
               the accelerator).
     patterns: (query_id, pattern) — tokenizer-normalized, no spaces,
-              len >= MIN_PATTERN_LEN.
+              len >= MIN_PATTERN_LEN. Either a DataFrame or a plain list
+              of (query_id, pattern) tuples; pass the LIST when the
+              strings are driver-side literals — the DataFrame is then
+              built from it (one source of truth, no drift) and the
+              per-call validation collect (~0.3 s of pure scheduling) is
+              skipped. (An earlier pattern_list= bypass parameter let a
+              mismatched list silently drop candidates; review-caught,
+              replaced by this single-argument form.)
     match:    'contains' (substring anywhere in a token) or 'prefix'.
     Returns (query_id, doc_id, n_tokens bigint) — n_tokens counts
     matching token OCCURRENCES (duplicates included), > 0 by
@@ -94,14 +100,14 @@ def pattern_search(
         raise ValueError(f"unknown match mode: {match}")
     if index.mode != "code":
         raise ValueError("pattern_search needs a code-mode index (trigram terms)")
-    # ONE driver action serves both validation and the slice derivation
-    # (patterns are query-side tiny by construction); callers that
-    # already hold the pattern strings pass pattern_list to skip the
-    # per-call Spark job entirely (~0.3 s of pure scheduling at bench
-    # scale)
-    if pattern_list is not None:
-        plist = sorted(set(pattern_list))
+    if isinstance(patterns, list):
+        plist = sorted({p for _q, p in patterns})
+        patterns = docs.sparkSession.createDataFrame(
+            patterns, "query_id string, pattern string"
+        )
     else:
+        # ONE driver action serves both validation and the slice
+        # derivation (patterns are query-side tiny by construction)
         plist = [
             r["pattern"] for r in patterns.select("pattern").distinct().collect()
         ]

@@ -379,6 +379,12 @@ def sec_surface(spark, queries, extra):
     run_op("ft_hybrid_rrf_ann")
     queries["hybrid_rrf_ann"] = median(timed(lambda: run_op("ft_hybrid_rrf_ann")))
 
+    # full production composition: compressed-segment WAND text leg + ANN
+    run_op("ft_hybrid_rrf_segwand")
+    queries["hybrid_rrf_segwand"] = median(
+        timed(lambda: run_op("ft_hybrid_rrf_segwand"))
+    )
+
 
 def sec_zipf(spark, queries, extra):
     from alertsage_spark.index.segments import build_segments, load_index
@@ -510,14 +516,16 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,  # a crashed child prints its
+            # traceback HERE (its only stdout is the final JSON line);
+            # discard on success, surface the tail on failure
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if proc.returncode != 0:
             raise RuntimeError(
                 f"bench section {name!r} failed (rc={proc.returncode}); "
-                f"stdout tail: {proc.stdout[-2000:]}"
+                f"stderr tail: {proc.stderr[-3000:]}"
             )
         frag = json.loads(proc.stdout.strip().splitlines()[-1])
         queries.update(frag["queries"])
