@@ -508,6 +508,11 @@ def main() -> None:
         s for s in os.environ.get("BENCH_SECTIONS", ",".join(SECTIONS)).split(",")
         if s
     ]
+    unknown = [s for s in sections if s not in SECTION_FNS]
+    if unknown:
+        raise ValueError(
+            f"unknown bench section(s) {unknown}; valid: {SECTIONS}"
+        )
     queries: dict[str, float] = {}
     extra: dict = {"isolation": "per-section subprocess (fresh JVM each)"}
     sf = SF_DIR.rstrip("/").split("sf")[-1]
