@@ -455,3 +455,30 @@ def test_hybrid_rrf_ann_fusion_rederived(spark):
             assert 1 <= r["rank"] <= 10
     finally:
         sig.unpersist()
+
+
+def test_hybrid_rrf_ann_inline_fallback(spark):
+    """The sig_docs=None fallback (encode + signatures computed inline,
+    cached inside) must produce the same fusion as the precomputed-
+    signature path."""
+    from alertsage_spark.index.build import build_index
+    from alertsage_spark.operators.encode import DIM, encode_text
+    from alertsage_spark.operators.similarity import with_lsh_signatures
+    from alertsage_spark.query.hybrid import hybrid_rrf_ann
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(200)
+    qs = spark.createDataFrame(
+        [("Q", "malware lateral movement")],
+        "query_id string, query_text string",
+    )
+    idx = build_index(docs)
+    inline = {(r["query_id"], r["doc_id"], r["rrf"], r["rank"])
+              for r in hybrid_rrf_ann(docs, qs, idx, k=5).collect()}
+    sig = with_lsh_signatures(
+        encode_text(docs), 8, 4, 42, id_col="doc_id", vec_col="vec", dim=DIM
+    )
+    pre = {(r["query_id"], r["doc_id"], r["rrf"], r["rank"])
+           for r in hybrid_rrf_ann(docs, qs, idx, k=5, sig_docs=sig).collect()}
+    assert inline == pre and len(inline) > 0
