@@ -72,6 +72,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
     if fmt is None or raw is None:
         raise ValueError("missing fmt / data chunk")
+    if len(fmt) < 16:
+        # a declared-but-truncated fmt chunk would otherwise surface as
+        # struct.error instead of the codec's controlled rejection
+        raise ValueError(f"fmt chunk too short ({len(fmt)} bytes)")
     audio_fmt, n_ch, rate, _byte_rate, _block, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )

@@ -45,6 +45,17 @@ ROTATED_BACK_IN_R5 = {
     "rel_comment_filter",
 }
 
+# ROUND-6 ROTATION PLAN (written r5, so next round's swap is
+# mechanical): these oracled entries' most recent driver row will be 3+
+# rounds old after r5 — rotate them IN next round (swapping against
+# this round's green passes, flagships excepted): ft_term_df_top20,
+# ft_corpus_stats, ft_quality, ft_threshold_gate, ft_threshold_sweep,
+# sim_cosine_topk, dedup_exact_stats, dedup_jaccard_verified,
+# rel_agg_rollup, rel_agg_pivot, rel_time_window, rel_window_lag,
+# rel_agg_distinct, rel_agg_banding, rel_join_topk, rel_topk_offset's
+# siblings already rotated this round. The r5 rotated-out set
+# (ROTATED_OUT_R5 below) is all r4/r5-green and can wait one round.
+
 # Flagship entries that must never leave the window (baseline targets).
 MUST_KEEP = {
     "ft_bm25_topk_refqueries", "ft_wand_topk_refqueries",

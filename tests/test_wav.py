@@ -97,3 +97,40 @@ def test_synth_blob_roundtrips_exactly():
         arr, rate = decode_wav(synth_audio_blob(mid))
         assert rate == audio_rate(mid)
         assert np.array_equal(arr, audio_samples(mid))
+
+
+def test_decoder_never_crashes_on_garbage():
+    """Arbitrary bytes must raise ValueError (or decode, for inputs that
+    happen to be valid RIFF) — never an unhandled struct/numpy error.
+    The decoder sits in a mapInPandas kernel; an uncontrolled exception
+    class would poison whole-task error handling."""
+    import random
+
+    rng = random.Random(99)
+    blobs = [b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"RIFFxxxxWAVE" + b"\x01" * 40]
+    for _ in range(200):
+        n = rng.randint(0, 200)
+        blobs.append(bytes(rng.getrandbits(8) for _ in range(n)))
+    # mutate a valid wav: truncations + byte flips
+    good = encode_wav(np.arange(-100, 100, dtype=np.int16), 8000)
+    for cut in (4, 11, 12, 20, 36, len(good) - 1):
+        blobs.append(good[:cut])
+    for pos in (0, 3, 8, 13, 21, 40):
+        b = bytearray(good)
+        b[pos] ^= 0xFF
+        blobs.append(bytes(b))
+    for blob in blobs:
+        try:
+            arr, rate = decode_wav(blob)
+            assert arr.dtype == np.int16 and arr.ndim == 2 and rate > 0
+        except ValueError:
+            pass  # the contract: controlled rejection only
+
+
+def test_truncated_fmt_chunk_rejected_controlled():
+    """A declared fmt chunk shorter than 16 bytes with a valid data
+    chunk after it must raise ValueError, not struct.error."""
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 10) + b"\x00" * 10
+    body += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
