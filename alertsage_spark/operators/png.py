@@ -98,13 +98,22 @@ def decode_png(data: bytes) -> np.ndarray:
     ihdr = None
     idat = bytearray()
     while pos < len(data):
+        # controlled rejection of truncation (struct.error on a short
+        # slice would leak an uncontrolled exception class out of the
+        # mapInPandas kernels)
+        if pos + 12 > len(data):
+            raise ValueError("truncated PNG chunk")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
         typ = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {typ!r} chunk")
         if typ == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"bad IHDR length {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif typ == b"IDAT":
             idat.extend(body)
@@ -120,7 +129,10 @@ def decode_png(data: bytes) -> np.ndarray:
         )
     ch = _CHANNELS[ctype]
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from None
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)

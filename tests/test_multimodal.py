@@ -218,3 +218,28 @@ def test_png_roundtrip_property(h, w, ch, mode, seed):
     rng = np.random.RandomState(seed)
     a = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(a, mode)), a)
+
+
+def test_png_decoder_rejects_garbage_controlled():
+    """Same rejection contract as the WAV fuzz: arbitrary/truncated/
+    bit-flipped bytes raise ValueError only — never struct.error or
+    zlib.error out of the kernel."""
+    import random
+
+    from alertsage_spark.operators.png import decode_png, encode_png
+
+    rng = random.Random(5)
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    blobs = [b"", b"\x89PNG", good[:20], good[:33], good[:-5]]
+    for _ in range(300):
+        blobs.append(bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 150))))
+    for pos in (1, 9, 17, 26, 34, 41, len(good) - 6):
+        b = bytearray(good)
+        b[pos % len(good)] ^= 0xFF
+        blobs.append(bytes(b))
+    for blob in blobs:
+        try:
+            arr = decode_png(blob)
+            assert arr.ndim == 3
+        except ValueError:
+            pass
