@@ -3897,7 +3897,12 @@ def ft_snippet_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     qdf = spark.createDataFrame(_SNIPPET_QUERIES, "query_id string, term string")
-    return snippet_topdocs(docs, qdf, k=3, width=30)
+    # candidates + exact occurrence counts from the shared relational
+    # index (tf == token-instance count): the corpus is no longer
+    # re-tokenized per call, only the <= 9 winning rows meet the text
+    return snippet_topdocs(
+        docs, qdf, k=3, width=30, index=_rel_index_for(spark, sf_dir)
+    )
 
 
 _REL_CODE_INDEX_CACHE: dict[str, object] = {}
@@ -4065,15 +4070,24 @@ def ft_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_fielded_index (index/build.py). Same scorers, fielded stats."""
     from alertsage_spark.index.build import build_fielded_index
 
-    toks = tokenize_col(F.col("text"))
-    docs2 = tbl(spark, sf_dir, "documents").select(
+    # tokenize ONCE, slice the token array per field (the oracle's
+    # t[1:8] / t[9:] definition, literally) — the former string
+    # round-trip (array_join + re-tokenize per field) cost three extra
+    # tokenize passes of the corpus per call (r6, guide §1.2 step 1)
+    toks_df = tbl(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_col(F.col("text")).alias("_toks")
+    )
+    docs2 = toks_df.select(
         "doc_id",
-        F.array_join(F.slice(toks, F.lit(1), F.lit(8)), " ").alias("title"),
-        F.array_join(
-            F.slice(toks, F.lit(9), F.greatest(F.size(toks) - 8, F.lit(0))), " "
+        F.slice(F.col("_toks"), F.lit(1), F.lit(8)).alias("title"),
+        F.slice(
+            F.col("_toks"), F.lit(9),
+            F.greatest(F.size(F.col("_toks")) - 8, F.lit(0)),
         ).alias("body"),
     )
-    index = build_fielded_index(docs2, [("title", 2.0), ("body", 1.0)])
+    index = build_fielded_index(
+        docs2, [("title", 2.0), ("body", 1.0)], tokenized=True
+    )
     return bm25_topk(index, queries_df(spark), k=10).withColumn(
         "rank", F.col("rank").cast("int")
     )

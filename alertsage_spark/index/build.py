@@ -8,24 +8,38 @@ inverted index:
     docs(doc_id, content)
       -> tokens     (doc_id, toks array<string>)          [pure SQL expr]
       -> doclen     (doc_id, dl)                          [no shuffle]
-      -> postings   (term, doc_id, tf)                    [1 shuffle: groupBy]
+      -> postings   (term, doc_id, tf, dl)                [1 shuffle: groupBy]
       -> termstats  (term, df, cf)                        [partial agg free]
-      -> corpus     N, avgdl                              [scalar agg]
+      -> corpus     N (row count), avgdl                  [N = docs.count();
+                                                           avgdl = a 1-row
+                                                           agg branch over
+                                                           postings]
 
 Scale notes (100 TB / 10^12 docs):
   * the explode+groupBy(term, doc_id) is the only wide shuffle in the
     build; Catalyst's partial aggregation combines map-side so the shuffle
-    carries (term, doc_id, partial_tf), not raw token occurrences.
-  * termstats is a second agg over the already term-partitioned postings,
-    so AQE reuses the partitioning (no extra full shuffle of raw data).
-  * doc lengths never shuffle: computed per-row from the token array.
+    carries (term, doc_id, dl, partial_tf), not raw token occurrences.
+  * doc length rides ON the posting row (+8 B through the one shuffle,
+    grouped by (term, doc_id, dl) — dl is functionally dependent on
+    doc_id so the groups are identical): the scorer then needs NO doclen
+    join, which on an un-cached index was a second full tokenize pass of
+    the corpus (r6 optimization, guide §2.3 "shuffle keys and metadata
+    instead of payloads" / §2.4 "remove shuffles outright").
+  * termstats AND the avgdl scalar are aggregation branches over the
+    same postings subtree, so within one query execution they reuse the
+    postings Exchange (ReusedExchange) instead of re-tokenizing: a full
+    BM25 batch over a fresh corpus is ONE tokenize pass end to end.
+  * n_docs comes from docs.count() — parquet row-count metadata (or a
+    cached count), never a tokenize. avgdl == sum(tf)/n_docs exactly:
+    sum of postings tf IS the total token count == sum of doc lengths,
+    and both engines divide the same exact integers (docs with zero
+    tokens contribute 0 to either formulation and are counted in n by
+    both).
   * hot-term skew is defused downstream at segment build via salting
     (see segments.py); AQE skew-join is the runtime fallback.
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,7 +59,6 @@ def idf_col(df_col, n_docs: int):
     return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
 
 
-@dataclass
 class InvertedIndex:
     """Handles to the logical index tables (lazily evaluated DataFrames).
 
@@ -53,14 +66,51 @@ class InvertedIndex:
     round-trips through parquet (the segment/manifest format with varbyte
     compression lives in segments.py — this class is the uncompressed
     relational view used by the exact join+agg scorer).
+
+    Fields:
+      doclen     (doc_id long, dl long)
+      postings   (term string, doc_id long, tf long[, dl long]) — the
+                 build_index form carries dl so scoring skips the doclen
+                 join; external postings (segment relview) omit it and
+                 the scorer falls back to the join.
+      termstats  (term string, df long, cf long)
+      n_docs     int — eager, cheap (row count only).
+      avgdl      float — LAZY when constructed with avgdl=None: first
+                 access runs the doclen aggregation. The scorer never
+                 touches it when ``corpus_stats`` is set (the in-plan
+                 1-row branch replaces the scalar, letting a fresh-index
+                 query run as one job with zero extra corpus passes).
+      corpus_stats  1-row DataFrame (_avgdl double) or None.
     """
 
-    doclen: DataFrame  # (doc_id long, dl long)
-    postings: DataFrame  # (term string, doc_id long, tf long)
-    termstats: DataFrame  # (term string, df long, cf long)
-    n_docs: int
-    avgdl: float
-    mode: str = "text"  # tokenizer mode; query_terms must reuse it
+    def __init__(
+        self,
+        doclen: DataFrame,
+        postings: DataFrame,
+        termstats: DataFrame,
+        n_docs: int,
+        avgdl: float | None,
+        mode: str = "text",
+        corpus_stats: DataFrame | None = None,
+    ):
+        self.doclen = doclen
+        self.postings = postings
+        self.termstats = termstats
+        self.n_docs = int(n_docs)
+        self._avgdl = avgdl
+        self.mode = mode
+        self.corpus_stats = corpus_stats
+
+    @property
+    def avgdl(self) -> float:
+        if self._avgdl is None:
+            row = self.doclen.agg(F.avg("dl").alias("avgdl")).collect()[0]
+            self._avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+        return self._avgdl
+
+    @avgdl.setter
+    def avgdl(self, v: float) -> None:
+        self._avgdl = v
 
     def cache(self) -> "InvertedIndex":
         self.doclen.cache()
@@ -81,6 +131,18 @@ def tokens_df(
     )
 
 
+def _corpus_stats_df(postings: DataFrame, n_docs: int) -> DataFrame | None:
+    """1-row (_avgdl) aggregation branch over postings. Within a query
+    it shares the postings Exchange (ReusedExchange) — no extra pass.
+    sum(tf) == sum of doc lengths exactly (every token occurrence is
+    counted once in exactly one posting's tf)."""
+    if n_docs <= 0:
+        return None
+    return postings.agg(
+        (F.sum("tf").cast("double") / F.lit(float(n_docs))).alias("_avgdl")
+    )
+
+
 def build_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -91,23 +153,33 @@ def build_index(
     toks = tokens_df(docs, id_col, text_col, mode)
     doclen = toks.select("doc_id", F.size("toks").alias("dl"))
     postings = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("term", "doc_id")
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
     )
+    # Materialize the postings relation: building the index IS this op's
+    # semantics, and the first query's scoring/termstats/avgdl branches
+    # each prune different columns, so Catalyst CANNOT reuse one
+    # Exchange across them (measured: 3 full tokenize+shuffle passes per
+    # fresh-index query batch, zero ReusedExchange). The persist makes
+    # the tokenize+explode+shuffle run ONCE (block-level locking dedups
+    # concurrent branch materialization); callers that are done with the
+    # index call unpersist(). Lazy as before — nothing runs until the
+    # first action.
+    postings = postings.persist()
     termstats = postings.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
-    row = doclen.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
+    n_docs = docs.count()  # row-count only: parquet metadata / cached count
     return InvertedIndex(
         doclen=doclen,
         postings=postings,
         termstats=termstats,
-        n_docs=int(row["n"]),
-        avgdl=float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        n_docs=n_docs,
+        avgdl=None,  # lazy scalar; scorers use corpus_stats in-plan
         mode=mode,
+        corpus_stats=_corpus_stats_df(postings, n_docs),
     )
 
 
@@ -121,6 +193,7 @@ def build_fielded_index(
     fields: list[tuple[str, float]],
     id_col: str = "doc_id",
     mode: str = "text",
+    tokenized: bool = False,
 ) -> InvertedIndex:
     """BM25F-style fielded index: several text columns, each with a
     weight (e.g. [("title", 2.0), ("body", 1.0)]).
@@ -132,42 +205,60 @@ def build_fielded_index(
     the SAME scorers as build_index — postings.tf and doclen.dl are
     doubles here, which bm25_scores consumes unchanged.
 
-    Scale shape: one union of per-field token explosions feeding the
-    same single groupBy(term, doc_id) shuffle as the plain build —
-    field count multiplies map-side rows only, never adds a shuffle.
+    ``tokenized=True``: the field columns are ALREADY token arrays
+    (array<string>) — callers that derive fields by slicing one token
+    array (ft_bm25f_topk) pass the slices directly instead of
+    array_join-ing to strings and re-tokenizing.
+
+    Scale shape (r6): every field is tokenized ONCE in a single
+    projection, the per-field (term, weight) structs are concatenated
+    and exploded in ONE Generate (no per-field union re-running the
+    tokenizer per branch), dl = sum_f w_f*len_f is computed in the same
+    projection and rides on the exploded rows through the single
+    groupBy(term, doc_id, dl) shuffle — the whole build is one pass,
+    one shuffle, regardless of field count.
     """
-    tok_parts = [
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokenize_col(F.col(col), mode=mode)).alias("term"),
-            F.lit(float(w)).alias("w"),
+    tok_exprs = [
+        (F.col(c) if tokenized else tokenize_col(F.col(c), mode=mode)).alias(
+            f"_t{i}"
         )
-        for col, w in fields
+        for i, (c, _w) in enumerate(fields)
     ]
-    u = tok_parts[0]
-    for p in tok_parts[1:]:
-        u = u.unionByName(p)
-    postings = u.groupBy("term", "doc_id").agg(F.sum("w").alias("tf"))
-    dl_parts = [
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            (F.size(tokenize_col(F.col(col), mode=mode)) * F.lit(float(w))).alias("dl"),
-        )
-        for col, w in fields
-    ]
-    ud = dl_parts[0]
-    for p in dl_parts[1:]:
-        ud = ud.unionByName(p)
-    doclen = ud.groupBy("doc_id").agg(F.sum("dl").alias("dl"))
+    base = docs.select(F.col(id_col).alias("doc_id"), *tok_exprs)
+    def _tw(weight: float):
+        # single-arg lambda: PySpark passes (element, index) to 2-arg
+        # lambdas, so the weight must bind via closure, not a default
+        return lambda t: F.struct(t.alias("term"), F.lit(weight).alias("w"))
+
+    dl_expr = None
+    tw_parts = []
+    for i, (_c, w) in enumerate(fields):
+        part = F.size(f"_t{i}").cast("double") * F.lit(float(w))
+        dl_expr = part if dl_expr is None else dl_expr + part
+        tw_parts.append(F.transform(F.col(f"_t{i}"), _tw(float(w))))
+    withdl = base.select(
+        "doc_id", F.concat(*tw_parts).alias("_tw"), dl_expr.alias("dl")
+    )
+    exploded = withdl.select(
+        "doc_id", "dl", F.explode("_tw").alias("_x")
+    ).select("doc_id", "dl", F.col("_x.term").alias("term"), F.col("_x.w").alias("w"))
+    postings = (
+        exploded.groupBy("term", "doc_id", "dl")
+        .agg(F.sum("w").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    ).persist()  # same rationale as build_index: one materialization
+    # serves the scoring, termstats and avgdl branches of the first query
+    doclen = withdl.select("doc_id", "dl")
     termstats = postings.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
-    row = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs = docs.count()
     return InvertedIndex(
         doclen=doclen,
         postings=postings,
         termstats=termstats,
-        n_docs=int(row["n"]),
-        avgdl=float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        n_docs=n_docs,
+        avgdl=None,
         mode=mode,
+        corpus_stats=_corpus_stats_df(postings, n_docs),
     )

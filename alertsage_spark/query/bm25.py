@@ -57,14 +57,38 @@ def term_score_rows(index: InvertedIndex, qterms: DataFrame) -> DataFrame:
     ``qterms`` needs (query_id, term); any EXTRA columns (e.g. the
     boolean engine's clause ``role``) ride along untouched. This is the
     ONE definition of the scoring join shape — broadcast query terms
-    into the postings scan, broadcast the filtered termstats, join
-    doclen — shared by bm25_scores and boolean_qualified so the two
-    paths cannot drift apart."""
+    into the postings scan, broadcast the filtered termstats — shared by
+    bm25_scores and boolean_qualified so the two paths cannot drift
+    apart.
+
+    r6 shape: build_index postings carry ``dl`` on the row, so the
+    doclen join (a full extra corpus pass on a fresh index) disappears;
+    ``index.corpus_stats`` (a 1-row aggregation branch that reuses the
+    postings Exchange) supplies avgdl in-plan, so scoring a fresh index
+    is ONE tokenize pass in ONE job. Indexes without these (segment
+    relview) fall back to the former joins/scalars — results identical
+    either way (same arithmetic, same inputs)."""
     matched = F.broadcast(qterms).join(index.postings, "term")
-    with_stats = matched.join(F.broadcast(qterms.select("term").distinct().join(index.termstats, "term")), "term")
-    with_len = with_stats.join(index.doclen, "doc_id")
+    qstats = qterms.select("term").distinct().join(index.termstats, "term")
+    stats = getattr(index, "corpus_stats", None)
+    if stats is not None:
+        # ride avgdl along in the SAME tiny broadcast as df: equi-join
+        # on a constant key keeps the plan free of nested-loop joins
+        qstats = (
+            qstats.withColumn("_one", F.lit(1))
+            .join(stats.withColumn("_one", F.lit(1)), "_one")
+            .drop("_one")
+        )
+        avgdl_e = F.col("_avgdl")
+    else:
+        avgdl_e = F.lit(index.avgdl)
+    with_stats = matched.join(F.broadcast(qstats), "term")
+    if "dl" in index.postings.columns:
+        with_len = with_stats  # dl rides on the posting row
+    else:
+        with_len = with_stats.join(index.doclen, "doc_id")
     norm = (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(index.avgdl))
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl_e)
     )
     return with_len.withColumn(
         "term_score", idf_col(F.col("df"), index.n_docs) * norm

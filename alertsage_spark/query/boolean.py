@@ -63,8 +63,13 @@ def boolean_qualified(index: InvertedIndex, clauses: DataFrame) -> DataFrame:
     (parse.py), which post-filters before ranking."""
     from alertsage_spark.query.bm25 import term_score_rows
 
+    # clauses_df guarantees one row per (query_id, term) and postings
+    # hold one row per (term, doc_id), so every counted row below is
+    # distinct by construction — plain conditional counts replace the
+    # former count_distinct aggregations, dropping Spark's
+    # distinct-aggregate Expand + second aggregation pass (r6).
     required = clauses.filter(F.col("role") == "must").groupBy("query_id").agg(
-        F.count_distinct("term").alias("n_must")
+        F.count("term").alias("n_must")
     )
     # the ONE scoring join shape (bm25.py); `role` rides along
     scored = term_score_rows(index, clauses).withColumn(
@@ -77,8 +82,8 @@ def boolean_qualified(index: InvertedIndex, clauses: DataFrame) -> DataFrame:
         scored.groupBy("query_id", "doc_id")
         .agg(
             F.sum("term_score").alias("score"),
-            F.count_distinct(
-                F.when(F.col("role") == "must", F.col("term"))
+            F.count(
+                F.when(F.col("role") == "must", F.lit(1))
             ).alias("must_hits"),
             F.max((F.col("role") == "must_not").cast("int")).alias("excluded"),
         )

@@ -50,15 +50,53 @@ def snippet_topdocs(
     width: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index=None,
 ) -> DataFrame:
     """Top-k docs per query term by token-occurrence count, each with a
     highlight snippet.
 
     docs:   (doc_id, text)
     qterms: (query_id, term) — term must be tokenizer-normalized.
+    index:  optional text-mode InvertedIndex over the SAME docs — the
+            scale path the module docstring promises: candidates and
+            occurrence counts come from the posting lists (tf IS the
+            exact token-instance count the brute-force path recomputes),
+            ranking runs over postings only, and the snippet expression
+            evaluates over just the <= k x queries winning rows. Without
+            it the corpus is tokenized per call (the r1-r5 shape, kept
+            for index-less callers; results identical either way).
     Returns (query_id, term, doc_id, n_occ bigint, snip string,
     rank int) — rank is dense per (query_id, term).
     """
+    if index is not None:
+        if getattr(index, "mode", "text") != "text":
+            raise ValueError("snippet_topdocs needs a text-mode index")
+        cand = F.broadcast(qterms).join(
+            index.postings.select(
+                "term", "doc_id", F.col("tf").cast("bigint").alias("n_occ")
+            ),
+            "term",
+        )
+        w = Window.partitionBy("query_id", "term").orderBy(
+            F.col("n_occ").desc(), F.col("doc_id").asc()
+        )
+        top = cand.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+            F.col("rank") <= k
+        )
+        return (
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("lt")
+            )
+            .join(F.broadcast(top), "doc_id")
+            .select(
+                "query_id",
+                "term",
+                "doc_id",
+                "n_occ",
+                snippet_col(F.col("lt"), F.col("term"), width).alias("snip"),
+                "rank",
+            )
+        )
     streamed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.lower(F.col(text_col)).alias("lt"),

@@ -136,14 +136,18 @@ def pattern_search(
     # distinct chain (r5: two fewer shuffles; the union's distinct is
     # subsumed by the groupBy). Candidate rule unchanged and still
     # provably complete: ALL trigrams present OR the exact token posted.
+    #
+    # r6 agg shape: the counted rows are provably distinct already —
+    # postings hold ONE row per (term, doc) and the probe relation holds
+    # each (query, pattern, term) once (trigrams pass array_distinct;
+    # the exact probe is a disjoint term namespace) — so the former
+    # count_distinct aggregations are plain conditional counts, which
+    # drops Spark's distinct-aggregate Expand + second aggregation pass.
     ptri = patterns.select(
         "query_id",
         "pattern",
         F.explode(_pattern_trigrams(F.col("pattern"))).alias("term"),
         F.lit("tri").alias("kind"),
-    )
-    n_tri = ptri.groupBy("query_id", "pattern").agg(
-        F.count_distinct("term").alias("n_tri")
     )
     probes = ptri.unionByName(
         patterns.select(
@@ -153,39 +157,57 @@ def pattern_search(
             F.lit("exact").alias("kind"),
         )
     )
-    cands = (
+    agg = (
         F.broadcast(probes)
         .join(postings, "term")
         .groupBy("query_id", "pattern", "doc_id")
         .agg(
-            F.count_distinct(
-                F.when(F.col("kind") == "tri", F.col("term"))
+            F.count(
+                F.when(F.col("kind") == "tri", F.lit(1))
             ).alias("hit_tri"),
             F.max(
                 F.when(F.col("kind") == "exact", F.lit(1)).otherwise(F.lit(0))
             ).alias("hit_exact"),
         )
-        .join(F.broadcast(n_tri), ["query_id", "pattern"])
-        .filter(
-            (F.col("hit_tri") == F.col("n_tri")) | (F.col("hit_exact") == 1)
-        )
-        .select("query_id", "pattern", "doc_id")
     )
+    # driver-side literals: the required-trigram count per pattern is a
+    # pure function of the pattern string (plist is in hand on both
+    # input paths) — a literal CASE map replaces the former n_tri
+    # aggregation + broadcast join (one fewer aggregate and join per
+    # call; same trigram rule as pattern_slice_terms: distinct 3-grams)
+    ntri_map = F.create_map(
+        *[
+            c
+            for p in plist
+            for c in (
+                F.lit(p),
+                F.lit(len({p[i : i + 3] for i in range(len(p) - 2)})),
+            )
+        ]
+    )
+    cands = agg.filter(
+        (F.col("hit_tri") == ntri_map[F.col("pattern")])
+        | (F.col("hit_exact") == 1)
+    ).select("query_id", "pattern", "doc_id")
 
     pred = F.contains if match == "contains" else F.startswith
     # semi-join FIRST, tokenize AFTER: the verify re-tokenizes ONLY the
     # candidate docs (a tokenize-then-join projection would evaluate the
-    # tokenizer over the whole corpus before the join prunes it)
+    # tokenizer over the whole corpus before the join prunes it). The
+    # candidate set is top-of-aggregation tiny but its size ESTIMATE is
+    # not — without the explicit broadcast hint the semi join planned as
+    # a SortMergeJoin that shuffled the whole corpus (r6 plan audit); no
+    # pre-distinct: left_semi deduplicates by construction.
     cand_docs = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
-    ).join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
+    ).join(F.broadcast(cands.select("doc_id")), "doc_id", "left_semi")
     toks = cand_docs.select(
         "doc_id",
         tokenize_col(F.col("_text")).alias("toks"),  # plain tokens: the
         # verify semantics are over identifiers, not trigram terms
     )
     return (
-        cands.join(toks, "doc_id")
+        cands.join(F.broadcast(toks), "doc_id")
         .select(
             "query_id",
             "doc_id",

@@ -140,10 +140,16 @@ def test_split_train_val_is_pure_jvm(spark):
 
 def test_boolean_search_broadcasts_clauses(spark):
     """Boolean retrieval must broadcast the tiny clause table into the
-    postings scan — never shuffle or nested-loop the big side."""
+    postings scan — never shuffle or nested-loop the big side. The ONE
+    permitted nested-loop is the 1-row corpus-stats (_avgdl) attach
+    inside the broadcast stats branch (r6: avgdl moved in-plan so a
+    fresh index never pays a dedicated corpus pass for it); its build
+    side is a single-row aggregate, so it is scale-free by construction."""
     plan = _plan(catalog.queries()["ft_boolean_search"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "_avgdl" in plan  # the 1-row stats attach, nothing else
     assert "BroadcastHashJoin" in plan
 
 

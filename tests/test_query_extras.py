@@ -158,6 +158,27 @@ def test_snippet_term_at_start_and_occurrence_count(spark):
     assert rows[3].snip == "one [needle] only"
 
 
+def test_snippet_index_path_matches_bruteforce(spark):
+    """r6: the index-backed candidate path (postings tf as n_occ) must be
+    row-identical to the tokenize-everything path, adjacent occurrences
+    and rank ties included."""
+    docs = spark.createDataFrame(
+        [(1, "needle at the very start and a needle later"),
+         (2, "no match here"),
+         (3, "one needle only"),
+         (4, "needle needle needle x"),
+         (5, "tie needle doc"), (6, "tie needle doc2")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [("S", "needle"), ("T", "tie")], "query_id string, term string"
+    )
+    brute = sorted(map(tuple, snippet_topdocs(docs, qdf, k=2, width=10).collect()))
+    idx = build_index(docs)
+    fast = sorted(map(tuple, snippet_topdocs(docs, qdf, k=2, width=10, index=idx).collect()))
+    assert brute == fast
+
+
 # ---- trigram substring/prefix search (query/substring.py) ----
 
 @pytest.fixture(scope="module")
