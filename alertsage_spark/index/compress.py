@@ -88,22 +88,32 @@ def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     return out.tobytes(), ngroups
 
 
-def encode_posting_lists_batch(
+def encode_posting_lists_columnar(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     term_starts: np.ndarray,
-) -> list[dict]:
-    """Encode MANY terms' posting lists in TWO vectorized varbyte passes.
+) -> dict:
+    """Encode MANY terms' posting lists in TWO vectorized varbyte passes,
+    returning COLUMNAR arrays (no per-term Python objects):
+
+      doc_all/tf_all   one bytes buffer each for the whole shard
+      doc_cum/tf_cum   per-posting byte-offset prefix sums (len n+1)
+      bstart           global posting index of every block start
+      blk_last/blk_max_tf/blk_min_dl  per-block metadata
+      term_blk         per-term slice bounds into the block arrays
+                       (len n_terms+1)
+      term_starts      echoed back (int64)
 
     ``doc_ids/tfs/dls`` are the concatenation of every term's postings
     (sorted by doc_id within each term); ``term_starts`` (len n_terms+1)
-    delimits the ranges. Produces byte-identical output to calling
-    encode_posting_list per term (unit-tested), but the per-value work —
-    delta computation, varbyte group sizing, byte packing — runs once
-    over the whole shard instead of once per (term, block): the
-    per-block Python call overhead was 77% of the code-mode shard build.
-    """
+    delimits the ranges. The encoded bytes are identical to calling
+    encode_posting_list per term (unit-tested via the batch wrapper).
+    Per-value work — delta computation, varbyte group sizing, byte
+    packing, per-BLOCK metadata — runs once over the whole shard
+    (r6: the former per-term loop made 2 reduceat + 1 np.append call per
+    term, tens of thousands of numpy dispatches per shard). Slices never
+    cross a term because every term start IS a block start."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
@@ -123,23 +133,56 @@ def encode_posting_lists_batch(
     tf_all, tf_nbytes = varbyte_encode_with_lengths(tfs.astype(np.uint64))
     doc_cum = np.concatenate(([0], np.cumsum(doc_nbytes)))
     tf_cum = np.concatenate(([0], np.cumsum(tf_nbytes)))
+    bstart = np.flatnonzero(is_bstart)  # sorted global block starts
+    blk_end = np.empty(len(bstart), dtype=np.int64)
+    if len(bstart):
+        blk_end[:-1] = bstart[1:]  # next block start == this block's end
+        blk_end[-1] = n  # (term-contiguous, so also correct at term ends)
+        blk_last = doc_ids[blk_end - 1]
+        blk_max_tf = np.maximum.reduceat(tfs, bstart)
+        blk_min_dl = np.minimum.reduceat(dls, bstart)
+    else:
+        blk_last = blk_max_tf = blk_min_dl = np.empty(0, dtype=np.int64)
+    return {
+        "doc_all": doc_all,
+        "tf_all": tf_all,
+        "doc_cum": doc_cum,
+        "tf_cum": tf_cum,
+        "bstart": bstart,
+        "blk_last": blk_last,
+        "blk_max_tf": blk_max_tf,
+        "blk_min_dl": blk_min_dl,
+        "term_blk": np.searchsorted(bstart, term_starts, side="left"),
+        "term_starts": term_starts,
+    }
+
+
+def encode_posting_lists_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_starts: np.ndarray,
+) -> list[dict]:
+    """Per-term dict view over encode_posting_lists_columnar — the
+    row-oriented API used by the pandas-based merge path and tests.
+    Byte-identical to encode_posting_list per term (unit-tested)."""
+    c = encode_posting_lists_columnar(doc_ids, tfs, dls, term_starts)
+    term_starts = c["term_starts"]
+    doc_cum, tf_cum, bstart, term_blk = (
+        c["doc_cum"], c["tf_cum"], c["bstart"], c["term_blk"]
+    )
     out = []
     for t in range(len(term_starts) - 1):
         s, e = int(term_starts[t]), int(term_starts[t + 1])
-        bs = np.arange(s, e, BLOCK_SIZE, dtype=np.int64)
-        be = np.minimum(bs + BLOCK_SIZE, e)
-        bounds = np.append(bs, e)
+        b0, b1 = int(term_blk[t]), int(term_blk[t + 1])
+        bounds = np.concatenate((bstart[b0:b1], (e,)))
         out.append(
             {
-                "doc_bytes": doc_all[doc_cum[s] : doc_cum[e]],
-                "tf_bytes": tf_all[tf_cum[s] : tf_cum[e]],
-                "block_last_docs": doc_ids[be - 1].tolist(),
-                "block_max_tfs": np.maximum.reduceat(tfs[s:e], bs - s).tolist()
-                if e > s
-                else [],
-                "block_min_dls": np.minimum.reduceat(dls[s:e], bs - s).tolist()
-                if e > s
-                else [],
+                "doc_bytes": c["doc_all"][doc_cum[s] : doc_cum[e]],
+                "tf_bytes": c["tf_all"][tf_cum[s] : tf_cum[e]],
+                "block_last_docs": c["blk_last"][b0:b1].tolist(),
+                "block_max_tfs": c["blk_max_tf"][b0:b1].tolist(),
+                "block_min_dls": c["blk_min_dl"][b0:b1].tolist(),
                 "block_doc_offsets": (doc_cum[bounds] - doc_cum[s]).tolist(),
                 "block_tf_offsets": (tf_cum[bounds] - tf_cum[s]).tolist(),
                 "n_postings": e - s,

@@ -254,82 +254,107 @@ def _doclen_row(shard_id: int, doc_ids: np.ndarray, dls: np.ndarray) -> dict:
     }
 
 
+def _shard_postings(doc_ids: np.ndarray, texts, mode: str):
+    """Numpy core shared by the pandas and Arrow shard builders: one
+    shard's texts -> per-doc lengths + term-sorted aggregated postings.
+
+    Tokenizes INSIDE the Python worker (Arrow/RE2 tokenize_arrow_base).
+    Aggregation uses factorize + integer composite keys instead of an
+    object-dtype pandas groupby: one C-speed hash pass over the token
+    strings, then pure int64 numpy — far lighter on memory bandwidth,
+    which is what actually limits per-core throughput at high
+    parallelism.
+
+    Returns (lens int64[n_docs], parts) where parts is None when the
+    shard has no postings, else a dict with p_docs/p_tf/p_dls (term-
+    sorted postings), starts/term_starts (per-term ranges), term_sorted
+    and vocab."""
+    n_docs = len(doc_ids)
+    codes, doc_idx, vocab = tokenize_arrow_base(texts)
+    lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    comp = codes * n_docs + doc_idx
+    uk, tf = np.unique(comp, return_counts=True)  # sorted by (term, docidx)
+    term_code = uk // n_docs
+    docidx = (uk % n_docs).astype(np.int64)
+    tf = tf.astype(np.int64)
+    if mode == "code" and len(vocab):
+        # vocab-level trigram expansion over the aggregated postings:
+        # tf('#xyz', doc) = sum over terms t of tf(t, doc) * mult(xyz in t)
+        tri_vocab, tri_codes, tri_mults, tri_off = vocab_trigram_mapping(vocab)
+        n_tris = tri_off[1:] - tri_off[:-1]
+        rep = n_tris[term_code]
+        rows = np.repeat(np.arange(len(uk), dtype=np.int64), rep)
+        # slot index into tri_codes for each expanded row
+        slot = (
+            np.arange(int(rep.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(rep) - rep, rep)
+            + np.repeat(tri_off[term_code], rep)
+        )
+        tri_term = tri_codes[slot] + len(vocab)
+        tri_doc = docidx[rows]
+        tri_tf = tf[rows] * tri_mults[slot]
+        # doc lengths include trigram occurrences (oracle parity)
+        lens = lens + np.bincount(
+            tri_doc, weights=tri_tf.astype(np.float64), minlength=n_docs
+        ).astype(np.int64)
+        # aggregate trigram collisions across different source terms
+        comp2 = tri_term * n_docs + tri_doc
+        order2 = np.argsort(comp2, kind="stable")
+        comp2 = comp2[order2]
+        tri_tf = tri_tf[order2]
+        uk2, idx2 = np.unique(comp2, return_index=True)
+        tf2 = np.add.reduceat(tri_tf, idx2) if len(uk2) else tri_tf[:0]
+        term_code = np.concatenate((term_code, uk2 // n_docs))
+        docidx = np.concatenate((docidx, (uk2 % n_docs).astype(np.int64)))
+        tf = np.concatenate((tf, tf2))
+        vocab = np.concatenate((vocab, tri_vocab))
+        order3 = np.lexsort((docidx, term_code))
+        term_code, docidx, tf = term_code[order3], docidx[order3], tf[order3]
+    if len(uk) == 0:
+        return lens, None
+    p_docs = doc_ids[docidx]
+    p_dls = lens[docidx]
+    # one global (term, doc_id) sort, then a single batch encode of
+    # every posting list (two vectorized varbyte passes for the whole
+    # shard — per-term encode calls were 77% of code-mode build time)
+    order = np.lexsort((p_docs, term_code))
+    term_sorted = term_code[order]
+    p_docs, p_tf, p_dls = p_docs[order], tf[order], p_dls[order]
+    bounds = np.flatnonzero(np.diff(term_sorted)) + 1
+    starts = np.concatenate(([0], bounds))
+    term_starts = np.concatenate((starts, [len(term_sorted)]))
+    return lens, {
+        "p_docs": p_docs,
+        "p_tf": p_tf,
+        "p_dls": p_dls,
+        "starts": starts,
+        "term_starts": term_starts,
+        "term_sorted": term_sorted,
+        "vocab": vocab,
+    }
+
+
 def _segment_builder(mode: str = "text"):
     """applyInPandas group fn: one shard's (doc_id, text) -> segment rows
-    + one doclen row.
-
-    Tokenizes INSIDE the Python worker (shared spec tokenize_py): the raw
-    text ships to the shard once and the CPU-heavy tokenize+encode path
-    runs in per-shard worker processes that scale with cores. Aggregation
-    uses factorize + integer composite keys instead of an object-dtype
-    pandas groupby: one C-speed hash pass over the token strings, then
-    pure int64 numpy — far lighter on memory bandwidth, which is what
-    actually limits per-core throughput at high parallelism."""
+    + one doclen row. Row-oriented sibling of _segment_builder_arrow
+    (kept for the merge path's cogroup tooling and tests)."""
 
     empty = pd.DataFrame(columns=_SEG_COLS)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(key[0])
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        n_docs = len(doc_ids)
-        codes, doc_idx, vocab = tokenize_arrow_base(pdf["text"])
-        lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
-        comp = codes * n_docs + doc_idx
-        uk, tf = np.unique(comp, return_counts=True)  # sorted by (term, docidx)
-        term_code = uk // n_docs
-        docidx = (uk % n_docs).astype(np.int64)
-        tf = tf.astype(np.int64)
-        if mode == "code" and len(vocab):
-            # vocab-level trigram expansion over the aggregated postings:
-            # tf('#xyz', doc) = sum over terms t of tf(t, doc) * mult(xyz in t)
-            tri_vocab, tri_codes, tri_mults, tri_off = vocab_trigram_mapping(vocab)
-            n_tris = tri_off[1:] - tri_off[:-1]
-            rep = n_tris[term_code]
-            rows = np.repeat(np.arange(len(uk), dtype=np.int64), rep)
-            # slot index into tri_codes for each expanded row
-            slot = (
-                np.arange(int(rep.sum()), dtype=np.int64)
-                - np.repeat(np.cumsum(rep) - rep, rep)
-                + np.repeat(tri_off[term_code], rep)
-            )
-            tri_term = tri_codes[slot] + len(vocab)
-            tri_doc = docidx[rows]
-            tri_tf = tf[rows] * tri_mults[slot]
-            # doc lengths include trigram occurrences (oracle parity)
-            lens = lens + np.bincount(
-                tri_doc, weights=tri_tf.astype(np.float64), minlength=n_docs
-            ).astype(np.int64)
-            # aggregate trigram collisions across different source terms
-            comp2 = tri_term * n_docs + tri_doc
-            order2 = np.argsort(comp2, kind="stable")
-            comp2 = comp2[order2]
-            tri_tf = tri_tf[order2]
-            uk2, idx2 = np.unique(comp2, return_index=True)
-            tf2 = np.add.reduceat(tri_tf, idx2) if len(uk2) else tri_tf[:0]
-            term_code = np.concatenate((term_code, uk2 // n_docs))
-            docidx = np.concatenate((docidx, (uk2 % n_docs).astype(np.int64)))
-            tf = np.concatenate((tf, tf2))
-            vocab = np.concatenate((vocab, tri_vocab))
-            order3 = np.lexsort((docidx, term_code))
-            term_code, docidx, tf = term_code[order3], docidx[order3], tf[order3]
+        lens, parts = _shard_postings(doc_ids, pdf["text"], mode)
         out = [_doclen_row(shard_id, doc_ids, lens)]
-        if len(uk) == 0:
-            return pd.DataFrame(out, columns=_SEG_COLS) if n_docs else empty
-        p_docs = doc_ids[docidx]
-        p_dls = lens[docidx]
-        # one global (term, doc_id) sort, then a single batch encode of
-        # every posting list (two vectorized varbyte passes for the whole
-        # shard — per-term encode calls were 77% of code-mode build time)
-        order = np.lexsort((p_docs, term_code))
-        term_sorted = term_code[order]
-        p_docs, p_tf, p_dls = p_docs[order], tf[order], p_dls[order]
-        bounds = np.flatnonzero(np.diff(term_sorted)) + 1
-        starts = np.concatenate(([0], bounds))
-        term_starts = np.concatenate((starts, [len(term_sorted)]))
-        encs = encode_posting_lists_batch(p_docs, p_tf, p_dls, term_starts)
-        cf = np.add.reduceat(p_tf, starts)
+        if parts is None:
+            return pd.DataFrame(out, columns=_SEG_COLS) if len(doc_ids) else empty
+        encs = encode_posting_lists_batch(
+            parts["p_docs"], parts["p_tf"], parts["p_dls"], parts["term_starts"]
+        )
+        cf = np.add.reduceat(parts["p_tf"], parts["starts"])
+        vocab, term_sorted = parts["vocab"], parts["term_sorted"]
         for i, enc in enumerate(encs):
-            s = int(starts[i])
+            s = int(parts["starts"][i])
             out.append(
                 {
                     "shard_id": shard_id,
@@ -344,6 +369,127 @@ def _segment_builder(mode: str = "text"):
     return fn
 
 
+def _arrow_segment_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("shard_id", pa.int32()),
+            ("term", pa.string()),
+            ("df_local", pa.int32()),
+            ("cf_local", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("doc_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("block_last_docs", pa.list_(pa.int64())),
+            ("block_max_tfs", pa.list_(pa.int64())),
+            ("block_min_dls", pa.list_(pa.int64())),
+            ("block_doc_offsets", pa.list_(pa.int32())),
+            ("block_tf_offsets", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def _segment_builder_arrow(mode: str = "text"):
+    """applyInArrow group fn — the build hot path (r6). Emits the shard's
+    segment rows as a pyarrow Table assembled ZERO-COPY from the columnar
+    encoder output: the binary columns are offset views over the shard's
+    two encoded byte buffers and the block-metadata list columns are
+    ListArrays over the vectorized per-block arrays. This removes the
+    per-term Python dict/list materialization (5 .tolist() calls and one
+    dict per term) and the pandas -> Arrow conversion the pandas builder
+    pays; encoded bytes and values are identical (same encoder)."""
+    import pyarrow as pa
+
+    from alertsage_spark.index.compress import encode_posting_lists_columnar
+
+    schema = _arrow_segment_schema()
+
+    def fn(key: tuple, tbl: pa.Table) -> pa.Table:
+        k = key[0]
+        shard_id = int(k.as_py() if hasattr(k, "as_py") else k)
+        doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lens, parts = _shard_postings(doc_ids, tbl.column("text"), mode)
+        dl = _doclen_row(shard_id, doc_ids, lens)
+        dl_tbl = pa.table({c: [dl[c]] for c in _SEG_COLS}, schema=schema)
+        if parts is None:
+            return dl_tbl if len(doc_ids) else schema.empty_table()
+        c = encode_posting_lists_columnar(
+            parts["p_docs"], parts["p_tf"], parts["p_dls"], parts["term_starts"]
+        )
+        ts = c["term_starts"]
+        n_terms = len(ts) - 1
+        doc_cum, tf_cum = c["doc_cum"], c["tf_cum"]
+        if max(int(doc_cum[-1]), int(tf_cum[-1])) > np.iinfo(np.int32).max:
+            raise ValueError(
+                "shard encoded size exceeds Arrow binary offset range; "
+                "rebuild with a larger n_shards"
+            )
+        bstart, term_blk = c["bstart"], c["term_blk"]
+        starts = parts["starts"]
+        cf = np.add.reduceat(parts["p_tf"], starts)
+        npost = np.diff(ts)
+
+        def bin_col(all_bytes, cum):
+            offs = np.ascontiguousarray(cum[ts], dtype=np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(), n_terms,
+                [None, pa.py_buffer(offs), pa.py_buffer(all_bytes)],
+            )
+
+        blk_offs = pa.array(term_blk.astype(np.int32), type=pa.int32())
+
+        def blk_col(values):
+            return pa.ListArray.from_arrays(
+                blk_offs, pa.array(values.astype(np.int64), type=pa.int64())
+            )
+
+        # per-term byte-offset lists: each term's list is its blocks'
+        # start offsets plus one trailing end offset — built vectorized
+        nblk = np.diff(term_blk)
+        list_off = term_blk + np.arange(n_terms + 1, dtype=np.int64)
+        total = int(list_off[-1])
+        end_mask = np.zeros(total, dtype=bool)
+        end_mask[list_off[1:] - 1] = True
+        off_arr = pa.array(list_off.astype(np.int32), type=pa.int32())
+
+        def off_col(cum):
+            vals = np.empty(total, dtype=np.int64)
+            vals[~end_mask] = cum[bstart] - np.repeat(cum[ts[:-1]], nblk)
+            vals[end_mask] = cum[ts[1:]] - cum[ts[:-1]]
+            return pa.ListArray.from_arrays(
+                off_arr, pa.array(vals.astype(np.int32), type=pa.int32())
+            )
+
+        terms_tbl = pa.table(
+            {
+                "shard_id": pa.array(
+                    np.full(n_terms, shard_id, dtype=np.int32), type=pa.int32()
+                ),
+                "term": pa.array(
+                    parts["vocab"][parts["term_sorted"][starts]],
+                    type=pa.string(),
+                ),
+                "df_local": pa.array(npost.astype(np.int32), type=pa.int32()),
+                "cf_local": pa.array(cf.astype(np.int64), type=pa.int64()),
+                "n_postings": pa.array(npost.astype(np.int64), type=pa.int64()),
+                "doc_bytes": bin_col(c["doc_all"], doc_cum),
+                "tf_bytes": bin_col(c["tf_all"], tf_cum),
+                "block_last_docs": blk_col(c["blk_last"]),
+                "block_max_tfs": blk_col(c["blk_max_tf"]),
+                "block_min_dls": blk_col(c["blk_min_dl"]),
+                "block_doc_offsets": off_col(doc_cum),
+                "block_tf_offsets": off_col(tf_cum),
+            },
+            schema=schema,
+        )
+        return pa.concat_tables([dl_tbl, terms_tbl])
+
+    return fn
+
+
 def decode_doclen_row(row) -> tuple[np.ndarray, np.ndarray]:
     """(sorted doc_ids int64, dls int64) from a term=NULL doclen row."""
     from alertsage_spark.index.compress import varbyte_decode, delta_decode
@@ -351,6 +497,19 @@ def decode_doclen_row(row) -> tuple[np.ndarray, np.ndarray]:
     docs = delta_decode(varbyte_decode(bytes(row["doc_bytes"]))).astype(np.int64)
     dls = varbyte_decode(bytes(row["tf_bytes"])).astype(np.int64)
     return docs, dls
+
+
+def _group_metric_exprs():
+    """Aggregates for one group's manifest row — shared by the
+    read-back path and the during-write Observation path so the two can
+    never drift."""
+    return [
+        F.count(F.when(F.col("term").isNotNull(), 1)).alias("n_terms"),
+        F.sum(F.when(F.col("term").isNotNull(), F.col("n_postings"))).alias("n_postings"),
+        F.sum(F.when(F.col("term").isNull(), F.col("df_local"))).alias("n_docs"),
+        F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+        F.sum(F.length("tf_bytes")).alias("tf_bytes"),
+    ]
 
 
 def _commit_group(
@@ -362,17 +521,19 @@ def _commit_group(
     n_groups: int,
     wall_ms: float,
     metrics: list,
+    observed: dict | None = None,
 ) -> None:
-    """Read back the group's written segments, append the manifest row
-    (lineage + build metrics). The manifest append IS the commit point."""
-    written = spark.read.parquet(paths.group_dir(g))
-    m = written.agg(
-        F.count(F.when(F.col("term").isNotNull(), 1)).alias("n_terms"),
-        F.sum(F.when(F.col("term").isNotNull(), F.col("n_postings"))).alias("n_postings"),
-        F.sum(F.when(F.col("term").isNull(), F.col("df_local"))).alias("n_docs"),
-        F.sum(F.length("doc_bytes")).alias("doc_bytes"),
-        F.sum(F.length("tf_bytes")).alias("tf_bytes"),
-    ).collect()[0]
+    """Append the manifest row (lineage + build metrics). The manifest
+    append IS the commit point. ``observed``: metric dict captured by a
+    DataFrame Observation DURING the write job (build_segments passes
+    it) — the default read-back aggregation re-reads the whole group's
+    parquet, a full extra pass per group (r6, guide §1.4: measure in
+    the job you already run)."""
+    if observed is not None:
+        m = observed
+    else:
+        written = spark.read.parquet(paths.group_dir(g))
+        m = written.agg(*_group_metric_exprs()).collect()[0]
     n_docs_g = int(m["n_docs"] or 0)
     row = {
         "build_id": build_id,
@@ -415,16 +576,29 @@ def verify_corpus_fidelity(
     hash_col: str = "content_sha256",
 ) -> None:
     """North-rule per-row invariant: sha2(content, 256) of every indexed
-    row must equal the reference's recorded hash. One anti-join job; any
-    mismatching or missing row raises before the build proceeds."""
+    row must equal the reference's recorded hash. ONE full-outer-join
+    job counts both directions at once (r6: the former anti-join pair
+    hashed the corpus twice per build); any mismatching or missing row
+    raises before the build proceeds."""
     actual = docs.select(
-        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("h")
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("h"),
+        F.lit(1).alias("_a"),
     )
     ref = reference_hashes.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h")
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("h"),
+        F.lit(1).alias("_r"),
     )
-    bad = actual.join(ref, ["doc_id", "h"], "left_anti").count()
-    missing = ref.join(actual, ["doc_id", "h"], "left_anti").count()
+    row = (
+        actual.join(ref, ["doc_id", "h"], "full_outer")
+        .agg(
+            F.count(F.when(F.col("_r").isNull(), 1)).alias("bad"),
+            F.count(F.when(F.col("_a").isNull(), 1)).alias("missing"),
+        )
+        .collect()[0]
+    )
+    bad, missing = int(row["bad"]), int(row["missing"])
     if bad or missing:
         raise ValueError(
             f"corpus fidelity check failed: {bad} rows hash-mismatched, "
@@ -490,9 +664,15 @@ def build_segments(
                 continue
             t0 = time.monotonic()
             part = sharded.filter(F.pmod(F.col("shard_id"), F.lit(n_groups)) == g)
-            seg = part.groupBy("shard_id").applyInPandas(
-                _segment_builder(mode), schema=SEGMENT_SCHEMA
+            seg = part.groupBy("shard_id").applyInArrow(
+                _segment_builder_arrow(mode), schema=SEGMENT_SCHEMA
             )
+            # manifest metrics ride the write job itself (Observation):
+            # the former post-commit read-back re-read the whole group
+            from pyspark.sql import Observation
+
+            obs = Observation(f"commit_group_{g}")
+            seg = seg.observe(obs, *_group_metric_exprs())
             # applyInPandas output is already hash-partitioned by shard_id;
             # no extra repartition — just sort by term within files so
             # parquet row-group min/max stats prune query-term lookups
@@ -501,7 +681,8 @@ def build_segments(
             )
             wall_ms = (time.monotonic() - t0) * 1000.0
             _commit_group(
-                spark, paths, g, build_id, n_shards, n_groups, wall_ms, metrics
+                spark, paths, g, build_id, n_shards, n_groups, wall_ms, metrics,
+                observed=obs.get,
             )
             n_committed += 1
             if fail_after_group is not None and n_committed >= fail_after_group:
@@ -515,18 +696,26 @@ def build_segments(
     all_done = done | {m["group_id"] for m in metrics}
     stats: dict = {}
     if len(all_done) >= n_groups:
+        from pyspark.sql import Observation
+
         segs = spark.read.option(
             "basePath", os.path.join(paths.root, "segments")
         ).parquet(*paths.group_dirs())
-        salted_termstats_from_segments(segs).write.mode("overwrite").parquet(
+        # doclen-row totals ride the termstats write job (Observation on
+        # the pre-filter scan) instead of a second pass over the segments
+        dlobs = Observation("finalize_doclen")
+        segs_o = segs.observe(
+            dlobs,
+            F.sum(F.when(F.col("term").isNull(), F.col("df_local"))).alias("n"),
+            F.sum(F.when(F.col("term").isNull(), F.col("cf_local"))).alias("s"),
+        )
+        salted_termstats_from_segments(segs_o).write.mode("overwrite").parquet(
             paths.termstats
         )
         man = spark.read.parquet(paths.manifest).agg(
             F.sum("n_docs").alias("n"),
         ).collect()[0]
-        dl_row = segs.filter(F.col("term").isNull()).agg(
-            F.sum("df_local").alias("n"), F.sum("cf_local").alias("s")
-        ).collect()[0]
+        dl_row = dlobs.get
         n = int(dl_row["n"] or 0)
         stats = {
             "n_docs": n,

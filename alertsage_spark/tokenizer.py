@@ -196,7 +196,12 @@ def tokenize_arrow_base(texts) -> tuple:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    s = pa.array(texts, type=pa.string(), from_pandas=True)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):  # arrow-native callers: zero convert
+        s = texts if texts.type == pa.string() else texts.cast(pa.string())
+    else:
+        s = pa.array(texts, type=pa.string(), from_pandas=True)
     s = pc.fill_null(s, "")
     s = pc.replace_substring_regex(s, pattern=CAMEL1[0], replacement=r"\1 \2")
     s = pc.replace_substring_regex(s, pattern=CAMEL2[0], replacement=r"\1 \2")

@@ -146,3 +146,35 @@ def test_suggest_n_shards_sizing_rule():
     assert suggest_n_shards(1_000_000_000, 200.0) == 10_000
     assert suggest_n_shards(10**12, 200.0) == 10_000_000
     assert suggest_n_shards(0) == 1
+
+
+def test_arrow_builder_matches_pandas_builder(spark, docs):
+    """r6: build_segments switched to the applyInArrow builder; its
+    output (zero-copy buffer views + vectorized block metadata) must be
+    byte-identical to the row-oriented pandas builder, both modes."""
+    import pyarrow as pa
+
+    from alertsage_spark.index.segments import (
+        _SEG_COLS,
+        _segment_builder,
+        _segment_builder_arrow,
+    )
+
+    pdf = docs.toPandas()
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    for mode in ("text", "code"):
+        fp = _segment_builder(mode)((5,), pdf)
+        fa = _segment_builder_arrow(mode)((5,), tbl).to_pandas()
+        assert list(fp.columns) == list(fa.columns) == _SEG_COLS
+        assert len(fp) == len(fa)
+        fp2 = fp.sort_values("term", na_position="first").reset_index(drop=True)
+        fa2 = fa.sort_values("term", na_position="first").reset_index(drop=True)
+        for col in _SEG_COLS:
+            for i in range(len(fp2)):
+                a, b = fp2[col][i], fa2[col][i]
+                if isinstance(a, (bytes, bytearray)) or isinstance(b, (bytes, bytearray)):
+                    assert bytes(a) == bytes(b), (mode, col, i)
+                elif hasattr(a, "__len__") and not isinstance(a, str):
+                    assert list(a) == list(b), (mode, col, i)
+                else:
+                    assert a == b or str(a) == str(b), (mode, col, i)
