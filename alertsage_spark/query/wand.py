@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from alertsage_spark.index.compress import (
     B,
+    BLOCK_SIZE,
     K1,
     bm25_norm,
     decode_block,
@@ -101,6 +102,40 @@ def _check_dl_coverage(dl_docs: np.ndarray, dl_idx: np.ndarray, docs: np.ndarray
         )
 
 
+def decode_term_row(row, cache: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a term row's FULL posting list in two varbyte calls (one
+    per stream) instead of two per block: the delta stream restarts
+    (absolute doc_id) at every block boundary, so the decoded cumsum is
+    corrected per block by subtracting the running offset at each block
+    start (vectorized reset-cumsum; r6 — the per-block loop cost ~2
+    numpy dispatches per 128 postings). ``cache`` (keyed by id(row))
+    shares decodes across the queries of one batch — reference batches
+    share their hot terms, so each posting list decodes once per task,
+    not once per query."""
+    key = id(row)
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    deltas = varbyte_decode(bytes(row["doc_bytes"]))
+    tfs = varbyte_decode(bytes(row["tf_bytes"])).astype(np.int64)
+    n = len(deltas)
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    if len(starts):
+        # value at a block start is ABSOLUTE: subtract the cumsum carried
+        # in from previous blocks, per block
+        offs = c[starts] - deltas[starts]
+        counts = np.diff(np.append(starts, n))
+        docs = (c - np.repeat(offs, counts)).astype(np.int64)
+    else:
+        docs = c.astype(np.int64)
+    out = (docs, tfs)
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
 def wand_topk_shard(
     term_rows: list[tuple[dict, float]],
     dl_docs: np.ndarray,
@@ -108,6 +143,7 @@ def wand_topk_shard(
     k: int,
     avgdl: float,
     deleted: np.ndarray | None = None,
+    cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized Block-Max evaluation over one shard (exact top-k).
 
@@ -145,7 +181,11 @@ def wand_topk_shard(
     boundary = np.unique(np.concatenate(lasts))  # sorted window END doc ids
     ub = np.zeros(len(boundary))
     cover: list[tuple[np.ndarray, np.ndarray]] = []
-    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    # lazily decoded blocks, keyed (id(row), block) so a batch-shared
+    # cache (r6) lets queries that share a term reuse its decodes
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = (
+        cache if cache is not None else {}
+    )
     for t in range(n_terms):
         bi = np.searchsorted(lasts[t], boundary, side="left")
         valid = bi < len(lasts[t])
@@ -159,9 +199,12 @@ def wand_topk_shard(
             # the bound ONLY to windows that actually contain a posting
             # (the true max contribution elsewhere is zero).
             docs_t = []
+            rid = id(rows[t])
             for b in range(len(lasts[t])):
-                blk = decode_block(rows[t], b)
-                decoded[(t, b)] = blk
+                blk = decoded.get((rid, b))
+                if blk is None:
+                    blk = decode_block(rows[t], b)
+                    decoded[(rid, b)] = blk
                 docs_t.append(blk[0])
             widx = np.searchsorted(boundary, np.concatenate(docs_t), side="left")
             haspost = np.zeros(len(boundary), dtype=bool)
@@ -183,7 +226,7 @@ def wand_topk_shard(
             bi_c, valid = cover[t]
             if not valid[w]:
                 continue
-            key = (t, int(bi_c[w]))
+            key = (id(rows[t]), int(bi_c[w]))
             blk = decoded.get(key)
             if blk is None:
                 blk = decode_block(rows[t], key[1])
@@ -246,20 +289,16 @@ def taat_topk_shard(
     k: int,
     avgdl: float,
     deleted: np.ndarray | None = None,
+    cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized exact TAAT: decode every matched posting, one group-sum.
-    ``deleted``: sorted doc ids dropped before the top-k selection."""
+    ``deleted``: sorted doc ids dropped before the top-k selection.
+    ``cache``: optional batch-shared decode cache (decode_term_row)."""
     all_docs = []
     all_scores = []
     for row, idf in term_rows:
-        deltas_all = []
-        tfs_all = []
-        do, to = row["block_doc_offsets"], row["block_tf_offsets"]
-        for bi in range(len(do) - 1):
-            deltas_all.append(delta_decode(varbyte_decode(row["doc_bytes"][do[bi]: do[bi + 1]])).astype(np.int64))
-            tfs_all.append(varbyte_decode(row["tf_bytes"][to[bi]: to[bi + 1]]).astype(np.float64))
-        docs = np.concatenate(deltas_all)
-        tfs = np.concatenate(tfs_all)
+        docs, tfs = decode_term_row(row, cache)
+        tfs = tfs.astype(np.float64)
         dl_idx = np.searchsorted(dl_docs, docs)
         _check_dl_coverage(dl_docs, dl_idx, docs)
         dl = dl_vals[dl_idx].astype(np.float64)
@@ -357,6 +396,7 @@ def _local_topk(
         for sid, rs in tomb_by_shard.items()
     }
     out = []
+    decode_cache: dict = {}  # shared across this batch's queries (r6)
     for qid, terms in query_terms.items():
         hits: list[tuple[int, float]] = []
         for sid, by_term in by_shard_term.items():
@@ -376,7 +416,7 @@ def _local_topk(
             )
             hits.extend(
                 shard_fn(rows, dl_docs, dl_vals, k, avgdl,
-                         deleted=del_by_shard.get(sid))
+                         deleted=del_by_shard.get(sid), cache=decode_cache)
             )
         hits.sort(key=lambda h: (-round(h[1], 6), h[0]))
         for rank, (doc, score) in enumerate(hits[:k], start=1):
@@ -507,6 +547,7 @@ def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
         for _, r in seg_pdf.iterrows():
             by_term.setdefault(r["term"], []).append(r)
         out_q, out_d, out_s = [], [], []
+        decode_cache: dict = {}  # shared across this batch's queries (r6)
         for qid, terms in query_terms.items():
             rows = [
                 (run, idf_map[t])
@@ -521,7 +562,8 @@ def _make_scorer(query_terms: dict[str, list[str]], idf_map: dict[str, float],
                 if _resolve_algo(algo, rows) == "wand"
                 else taat_topk_shard
             )
-            hits = shard_fn(rows, dl_docs, dl_vals, k, avgdl, deleted=deleted)
+            hits = shard_fn(rows, dl_docs, dl_vals, k, avgdl, deleted=deleted,
+                            cache=decode_cache)
             for d, s in hits:
                 out_q.append(qid)
                 out_d.append(d)
