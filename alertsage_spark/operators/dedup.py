@@ -220,6 +220,11 @@ def minhash_lsh_pairs(
             _minhash_bands_arrow(num_hashes, bands, shingle_n),
             schema="doc_id long, band_id int, band_hash long",
         )
+        # materialize the band table once: the self-join's two sides
+        # sit directly on the mapInPandas subtree (no exchange below),
+        # so without the persist the minhash kernel runs TWICE per
+        # action (r6). Tiny: n_docs x bands rows of three ints.
+        banded = banded.persist()
         a = banded.alias("a")
         b = banded.alias("b")
         return (

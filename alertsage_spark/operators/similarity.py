@@ -277,7 +277,9 @@ def lsh_ann_topk_batch(
         .distinct()
     )
     scored = (
-        cand.join(sigdf.select(id_col, vec_col), id_col)
+        # cand is top-of-aggregation tiny but its size ESTIMATE is not;
+        # broadcast it so the signature table is never shuffled (r6)
+        F.broadcast(cand).join(sigdf.select(id_col, vec_col), id_col)
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",

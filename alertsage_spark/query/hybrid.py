@@ -42,23 +42,23 @@ def rrf_fuse(
 ) -> DataFrame:
     """Fuse two (query_id, doc_id, rank int) rankings; returns
     (query_id, doc_id, rrf double, rank int), top-k per query."""
+    # union + one hash-agg instead of a full-outer join (r6): each doc
+    # has at most one contribution per leg and two-term double addition
+    # is order-independent, so sum-over-union is bit-identical to the
+    # joined coalesce(a)+coalesce(b) while costing one narrow exchange
+    # instead of two exchanges + sorts.
     ca = a.select(
         "query_id", "doc_id",
-        (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias("c_a"),
+        (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias("c"),
     )
     cb = b.select(
         "query_id", "doc_id",
-        (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias("c_b"),
+        (F.lit(1.0) / (F.lit(k_const) + F.col("rank"))).alias("c"),
     )
     fused = (
-        ca.join(cb, ["query_id", "doc_id"], "full_outer")
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(
-                F.coalesce("c_a", F.lit(0.0)) + F.coalesce("c_b", F.lit(0.0)), 9
-            ).alias("rrf"),
-        )
+        ca.unionByName(cb)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c"), 9).alias("rrf"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf").desc(), F.col("doc_id").asc()
