@@ -66,21 +66,33 @@ def _delete_variants(col: Column, max_deletes: int = 2) -> Column:
     return F.array_distinct(F.concat(F.array(col), one, two))
 
 
+def vocab_variants(vocab: DataFrame) -> DataFrame:
+    """(term, df, variant) — the vocabulary's exploded delete-
+    neighborhood, the SymSpell dictionary itself. In production this is
+    materialized/bucketed by variant at index build; callers that serve
+    many suggestion queries cache it and pass it via ``suggest(...,
+    variants=...)`` so the O(vocab * len^2) explode is not re-evaluated
+    per query batch (r6)."""
+    return vocab.select(
+        "term", "df", F.explode(_delete_variants(F.col("term"))).alias("variant")
+    )
+
+
 def suggest(
     vocab: DataFrame,
     qterms: DataFrame,
     max_dist: int = 2,
     n: int = 3,
+    variants: DataFrame | None = None,
 ) -> DataFrame:
     """Top-n suggestions per query term.
 
     vocab:  (term, df) — the index vocabulary with document frequencies.
     qterms: (query_id, qterm) — one row per (possibly misspelled) term.
+    variants: optional precomputed vocab_variants(vocab) table.
     Returns (query_id, qterm, suggestion, dist int, df, rank int).
     """
-    vvar = vocab.select(
-        "term", "df", F.explode(_delete_variants(F.col("term"))).alias("variant")
-    )
+    vvar = variants if variants is not None else vocab_variants(vocab)
     qvar = qterms.select(
         "query_id",
         "qterm",

@@ -189,25 +189,29 @@ def pattern_search(
         (F.col("hit_tri") == ntri_map[F.col("pattern")])
         | (F.col("hit_exact") == 1)
     ).select("query_id", "pattern", "doc_id")
+    # ONE broadcast of the candidate set serves BOTH joins below — the
+    # two subtrees are identical, so the second is a ReusedExchange and
+    # the probe join + aggregation runs once per action (r6; candidates
+    # are top-of-aggregation tiny, but their size ESTIMATE is not —
+    # without the hint the verify semi-join planned as a SortMergeJoin
+    # that shuffled the whole corpus).
+    bc = F.broadcast(cands)
 
     pred = F.contains if match == "contains" else F.startswith
     # semi-join FIRST, tokenize AFTER: the verify re-tokenizes ONLY the
     # candidate docs (a tokenize-then-join projection would evaluate the
-    # tokenizer over the whole corpus before the join prunes it). The
-    # candidate set is top-of-aggregation tiny but its size ESTIMATE is
-    # not — without the explicit broadcast hint the semi join planned as
-    # a SortMergeJoin that shuffled the whole corpus (r6 plan audit); no
+    # tokenizer over the whole corpus before the join prunes it); no
     # pre-distinct: left_semi deduplicates by construction.
     cand_docs = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
-    ).join(F.broadcast(cands.select("doc_id")), "doc_id", "left_semi")
+    ).join(bc, "doc_id", "left_semi")
     toks = cand_docs.select(
         "doc_id",
         tokenize_col(F.col("_text")).alias("toks"),  # plain tokens: the
         # verify semantics are over identifiers, not trigram terms
     )
     return (
-        cands.join(F.broadcast(toks), "doc_id")
+        toks.join(bc, "doc_id")
         .select(
             "query_id",
             "doc_id",
