@@ -210,6 +210,10 @@ _SEG_INDEX_CACHE: dict[str, object] = {}
 _REL_INDEX_CACHE: dict[str, object] = {}
 _ENC_CACHE: dict[str, object] = {}
 
+from collections import deque as _deque  # bounded per-call persists
+
+_GRAMS_PERSISTS: _deque = _deque()
+
 
 def _rel_index_for(spark: SparkSession, sf_dir: str):
     """Uncompressed relational index over documents, built once per
@@ -2877,8 +2881,10 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column pruning gives the two branches DIFFERENT exchanges, so
     # nothing is reused and the shingle explode+distinct ran twice per
     # action (r6 plan audit: 4 Generate nodes, 0 ReusedExchange) —
-    # materialize it once
-    grams = grams.persist()
+    # materialize it once (bounded: older calls' storage is released)
+    from alertsage_spark.session import persist_bounded
+
+    grams = persist_bounded(grams, _GRAMS_PERSISTS)
     bench = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
     return (
         grams.join(F.broadcast(bench), "gram")

@@ -41,13 +41,21 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alertsage_spark.session import persist_bounded
 from alertsage_spark.tokenizer import tokenize_col
 
 K1 = 1.2
 B = 0.75
+
+# bounded registries for the per-build postings materializations (see
+# persist_bounded: repeated builds in one process release old storage)
+_POSTINGS_PERSISTS: deque = deque()
+_FIELDED_PERSISTS: deque = deque()
 
 
 def idf_col(df_col, n_docs: int):
@@ -165,9 +173,13 @@ def build_index(
     # fresh-index query batch, zero ReusedExchange). The persist makes
     # the tokenize+explode+shuffle run ONCE (block-level locking dedups
     # concurrent branch materialization); callers that are done with the
-    # index call unpersist(). Lazy as before — nothing runs until the
-    # first action.
-    postings = postings.persist()
+    # index call unpersist(), and the bounded registry releases older
+    # builds' storage in long sessions. Lazy as before — nothing runs
+    # until the first action.
+    # keep=4: the catalog keeps up to two LONG-LIVED cached indexes
+    # (text + code relational) whose storage must survive transient
+    # builds landing in the same registry
+    postings = persist_bounded(postings, _POSTINGS_PERSISTS, keep=4)
     termstats = postings.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
@@ -246,8 +258,10 @@ def build_fielded_index(
         exploded.groupBy("term", "doc_id", "dl")
         .agg(F.sum("w").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
-    ).persist()  # same rationale as build_index: one materialization
-    # serves the scoring, termstats and avgdl branches of the first query
+    )
+    # same rationale as build_index: one materialization serves the
+    # scoring, termstats and avgdl branches of the first query
+    postings = persist_bounded(postings, _FIELDED_PERSISTS)
     doclen = withdl.select("doc_id", "dl")
     termstats = postings.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")

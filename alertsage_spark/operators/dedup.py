@@ -25,10 +25,14 @@ ops) — zero Python UDFs.
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alertsage_spark.tokenizer import tokenize_col
+
+_BANDED_PERSISTS: deque = deque()
 
 
 def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -223,8 +227,11 @@ def minhash_lsh_pairs(
         # materialize the band table once: the self-join's two sides
         # sit directly on the mapInPandas subtree (no exchange below),
         # so without the persist the minhash kernel runs TWICE per
-        # action (r6). Tiny: n_docs x bands rows of three ints.
-        banded = banded.persist()
+        # action (r6). Tiny: n_docs x bands rows of three ints; bounded
+        # registry releases older calls' storage.
+        from alertsage_spark.session import persist_bounded
+
+        banded = persist_bounded(banded, _BANDED_PERSISTS)
         a = banded.alias("a")
         b = banded.alias("b")
         return (

@@ -10,8 +10,28 @@ sized to ~2-3x total cores.
 from __future__ import annotations
 
 import os
+from collections import deque
 
 from pyspark.sql import SparkSession
+
+
+def persist_bounded(df, registry: deque, keep: int = 2):
+    """persist() with a bounded per-site registry: operators that
+    materialize a per-call intermediate (postings at build, minhash
+    bands, shingle tables) call this so repeated invocations in one
+    process do not accumulate storage without bound — the oldest entry
+    beyond ``keep`` is unpersisted (correctness-safe: an evicted
+    DataFrame silently recomputes if still referenced). Registries are
+    module-level deques, one per persist site."""
+    df = df.persist()
+    registry.append(df)
+    while len(registry) > keep:
+        old = registry.popleft()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return df
 
 
 def get_spark(
