@@ -35,6 +35,8 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    if (v < 128).all():
+        return v.astype(np.uint8).tobytes()  # single-group fast path
     # number of 7-bit groups per value (at least 1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -66,6 +68,11 @@ def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
+    if (v < 128).all():
+        # single-group fast path (tf streams and most delta streams):
+        # every byte is the value itself, no continuation bits — one
+        # astype instead of the group-sizing/packing passes (r6)
+        return v.astype(np.uint8).tobytes(), np.ones(v.size, dtype=np.int64)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:

@@ -442,6 +442,10 @@ def _local_topk(
 # distributed job it avoids)
 FAST_PATH_MAX_POSTINGS = 2_000_000
 
+# ceiling on n_shards * k * |Q| for the distributed path's driver-side
+# final merge (~40 B/row); above it the global window rank runs instead
+DRIVER_MERGE_MAX_ROWS = 200_000
+
 # serving LRU budget: total encoded postings held in the driver's
 # term-row cache (compressed rows, ~1.5 B/posting -> ~12 MB at the cap).
 # Evicting by postings rather than term count keeps the bound meaningful
@@ -659,6 +663,30 @@ def wand_topk(
     candidates = seg.groupBy("shard_id").applyInPandas(
         scorer, schema="query_id string, doc_id long, score double"
     )
+    # Final k-way merge: the per-shard scorers emit at most
+    # n_shards x k rows per query, so when that bound is driver-small
+    # the global rank is a driver merge (one job, no extra
+    # exchange+window stage — r6; same tie-break as the window and as
+    # _local_topk). At web scale (millions of shards) the bound blows
+    # the budget and the distributed window runs as before.
+    n_shards = int(index.stats.get("n_shards", 0))
+    if 0 < n_shards * k * len(query_terms) <= DRIVER_MERGE_MAX_ROWS:
+        by_q: dict[str, list] = {}
+        for r in candidates.collect():
+            by_q.setdefault(r["query_id"], []).append(
+                (int(r["doc_id"]), float(r["score"]))
+            )
+        out = []
+        for qid in by_q:
+            hits = sorted(by_q[qid], key=lambda h: (-round(h[1], 6), h[0]))
+            for rank, (doc, score) in enumerate(hits[:k], start=1):
+                out.append((qid, doc, round(score, 6), rank))
+        if not out:
+            return _empty_topk(spark)
+        pdf = pd.DataFrame(out, columns=["query_id", "doc_id", "score", "rank"])
+        return spark.createDataFrame(
+            pdf, "query_id string, doc_id long, score double, rank int"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
     )
