@@ -151,13 +151,32 @@ def _corpus_stats_df(postings: DataFrame, n_docs: int) -> DataFrame | None:
     )
 
 
+def adaptive_partitions(n_docs: int, rows_per_doc: float = 100.0,
+                        target_rows: int = 2_000_000) -> int:
+    """Size-derived partition count for a long-lived cached relation:
+    ceil(estimated rows / target). NOT a local-mode constant — a 5k-doc
+    fixture coalesces to 1 partition (a per-query stage over it is one
+    task instead of shuffle-partition-count near-empty tasks), a 10^9-doc
+    corpus gets ~50k partitions."""
+    import math
+
+    return max(1, math.ceil(n_docs * rows_per_doc / target_rows))
+
+
 def build_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "text",
+    coalesce_to: int | None = None,
 ) -> InvertedIndex:
-    """Build the logical inverted index from a documents DataFrame."""
+    """Build the logical inverted index from a documents DataFrame.
+
+    ``coalesce_to``: optional partition count for the materialized
+    postings — long-lived cached indexes serving many small queries pass
+    adaptive_partitions(n_docs) so each query stage schedules
+    data-proportional tasks; one-shot batch builds leave it None (full
+    shuffle parallelism for the scoring aggregation)."""
     toks = tokens_df(docs, id_col, text_col, mode)
     doclen = toks.select("doc_id", F.size("toks").alias("dl"))
     postings = (
@@ -166,6 +185,8 @@ def build_index(
         .agg(F.count("*").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
     )
+    if coalesce_to is not None:
+        postings = postings.coalesce(coalesce_to)
     # Materialize the postings relation: building the index IS this op's
     # semantics, and the first query's scoring/termstats/avgdl branches
     # each prune different columns, so Catalyst CANNOT reuse one
@@ -206,6 +227,7 @@ def build_fielded_index(
     id_col: str = "doc_id",
     mode: str = "text",
     tokenized: bool = False,
+    coalesce_to: int | None = None,
 ) -> InvertedIndex:
     """BM25F-style fielded index: several text columns, each with a
     weight (e.g. [("title", 2.0), ("body", 1.0)]).
@@ -259,6 +281,8 @@ def build_fielded_index(
         .agg(F.sum("w").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
     )
+    if coalesce_to is not None:
+        postings = postings.coalesce(coalesce_to)
     # same rationale as build_index: one materialization serves the
     # scoring, termstats and avgdl branches of the first query
     postings = persist_bounded(postings, _FIELDED_PERSISTS)
