@@ -2865,7 +2865,11 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode once, benchmark side stays small and broadcasts, one
     hash-agg on doc_id — contamination checks at 100 TB are exactly this
     plan with the benchmark-gram set broadcast to every executor."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    from alertsage_spark.session import spread_small_scan
+
+    docs = spread_small_scan(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    )  # 1-2-partition fixture scan would shingle single-core (r6)
     toks = docs.select("doc_id", tokenize_col(F.col("text")).alias("t"))
     grams = toks.select(
         "doc_id",
@@ -2957,7 +2961,11 @@ def pipe_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram — high values mark boilerplate/degenerate text that training
     pipelines drop. Two hash-aggs, both keyed on doc_id (+gram), so the
     plan is shuffle-minimal and skew-free at any corpus size."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    from alertsage_spark.session import spread_small_scan
+
+    docs = spread_small_scan(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    )  # same single-core-scan note as pipe_decontaminate (r6)
     toks = docs.select("doc_id", tokenize_col(F.col("text")).alias("t"))
     grams = toks.select(
         "doc_id",
@@ -3054,8 +3062,11 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, bin stats out — no global coordination (bins never span
     shards, matching how packing runs per-worker in real loaders)."""
     from alertsage_spark.operators.packing import pack_sequences
+    from alertsage_spark.session import spread_small_scan
 
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_small_scan(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    )  # same single-core-scan note as pipe_decontaminate (r6)
     toks = docs.select(
         "doc_id", F.size(tokenize_col(F.col("text"))).alias("n_tokens")
     )
@@ -4110,7 +4121,11 @@ def ft_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # t[1:8] / t[9:] definition, literally) — the former string
     # round-trip (array_join + re-tokenize per field) cost three extra
     # tokenize passes of the corpus per call (r6, guide §1.2 step 1)
-    toks_df = tbl(spark, sf_dir, "documents").select(
+    from alertsage_spark.session import spread_small_scan
+
+    toks_df = spread_small_scan(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(  # 1-2-partition fixture scan would tokenize single-core
         "doc_id", tokenize_col(F.col("text")).alias("_toks")
     )
     docs2 = toks_df.select(

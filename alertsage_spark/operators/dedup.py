@@ -220,7 +220,13 @@ def minhash_lsh_pairs(
     Column-expression form (no Python at all).
     """
     if impl == "arrow":
-        banded = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+        from alertsage_spark.session import spread_small_scan
+
+        banded = spread_small_scan(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        ).mapInPandas(  # 1-2-partition scan would minhash single-core
             _minhash_bands_arrow(num_hashes, bands, shingle_n),
             schema="doc_id long, band_id int, band_hash long",
         )

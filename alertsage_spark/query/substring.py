@@ -202,9 +202,17 @@ def pattern_search(
     # candidate docs (a tokenize-then-join projection would evaluate the
     # tokenizer over the whole corpus before the join prunes it); no
     # pre-distinct: left_semi deduplicates by construction.
-    cand_docs = docs.select(
+    from alertsage_spark.session import spread_small_scan
+
+    docs_sel = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
-    ).join(bc, "doc_id", "left_semi")
+    )
+    cand_docs = spread_small_scan(
+        docs_sel.join(bc, "doc_id", "left_semi"), probe=docs_sel
+    )  # fixture scans are 1-2 partitions; the verify tokenize was
+    # running single-core (measured 1.8 -> 1.2s with the spread);
+    # probe the plain scan — .rdd on the joined plan would materialize
+    # the candidate broadcast stage eagerly
     toks = cand_docs.select(
         "doc_id",
         tokenize_col(F.col("_text")).alias("toks"),  # plain tokens: the

@@ -15,6 +15,25 @@ from collections import deque
 from pyspark.sql import SparkSession
 
 
+def spread_small_scan(df, probe=None):
+    """Round-robin repartition to defaultParallelism — ONLY when the
+    input has fewer partitions (r6): a single-file parquet fixture scans
+    as 1-2 partitions, which serializes every map-side-heavy consumer
+    (tokenize, shingle explode, minhash kernels) onto 1-2 cores while
+    the rest idle. At corpus scale inputs already carry >= parallelism
+    partitions and this is a no-op — never a blanket shuffle.
+
+    ``probe``: DataFrame whose partition count to inspect (default
+    ``df``). Pass the underlying plain SCAN when ``df`` contains joins:
+    .rdd on an adaptive plan with exchanges materializes its query
+    stages eagerly — the probe must stay a metadata-only question."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if (probe if probe is not None else df).rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def persist_bounded(df, registry: deque, keep: int = 2):
     """persist() with a bounded per-site registry: operators that
     materialize a per-call intermediate (postings at build, minhash
