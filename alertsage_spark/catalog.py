@@ -4109,40 +4109,53 @@ SELECT query_id, doc_id, score, "rank" FROM ranked WHERE "rank" <= {k}
 """
 
 
+def _fielded_index_for(spark: SparkSession, sf_dir: str):
+    """BM25F fielded index over documents, built once per process per
+    sf_dir — the same long-lived-index treatment as _rel_index_for /
+    _rel_code_index_for / _segment_index_for (r6: this was the one
+    query-surface entry still rebuilding its index on every call;
+    indexes are ingest-time artifacts, queries are the operation)."""
+    from alertsage_spark.index.build import (
+        adaptive_partitions,
+        build_fielded_index,
+    )
+    from alertsage_spark.session import spread_small_scan
+
+    key = f"bm25f:{sf_dir}"
+    if key not in _REL_INDEX_CACHE:
+        docs = tbl(spark, sf_dir, "documents")
+        n = docs.count()
+        # tokenize ONCE, slice the token array per field (the oracle's
+        # t[1:8] / t[9:] definition, literally) — the former string
+        # round-trip (array_join + re-tokenize per field) cost three
+        # extra tokenize passes of the corpus per call (r6)
+        toks_df = spread_small_scan(docs.select("doc_id", "text")).select(
+            "doc_id", tokenize_col(F.col("text")).alias("_toks")
+        )
+        docs2 = toks_df.select(
+            "doc_id",
+            F.slice(F.col("_toks"), F.lit(1), F.lit(8)).alias("title"),
+            F.slice(
+                F.col("_toks"), F.lit(9),
+                F.greatest(F.size(F.col("_toks")) - 8, F.lit(0)),
+            ).alias("body"),
+        )
+        _REL_INDEX_CACHE[key] = build_fielded_index(
+            docs2, [("title", 2.0), ("body", 1.0)], tokenized=True,
+            coalesce_to=adaptive_partitions(n),
+        ).cache()
+    return _REL_INDEX_CACHE[key]
+
+
 @register("ft_bm25f_topk", _bm25f_oracle_sql(10))
 def ft_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-weighted BM25F (simplified Robertson/Zaragoza: weighted tf
     into the standard saturation) over synthesized fields — title =
     first 8 tokens at weight 2.0, body = rest at 1.0 — via
-    build_fielded_index (index/build.py). Same scorers, fielded stats."""
-    from alertsage_spark.index.build import build_fielded_index
-
-    # tokenize ONCE, slice the token array per field (the oracle's
-    # t[1:8] / t[9:] definition, literally) — the former string
-    # round-trip (array_join + re-tokenize per field) cost three extra
-    # tokenize passes of the corpus per call (r6, guide §1.2 step 1)
-    from alertsage_spark.session import spread_small_scan
-
-    toks_df = spread_small_scan(
-        tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select(  # 1-2-partition fixture scan would tokenize single-core
-        "doc_id", tokenize_col(F.col("text")).alias("_toks")
-    )
-    docs2 = toks_df.select(
-        "doc_id",
-        F.slice(F.col("_toks"), F.lit(1), F.lit(8)).alias("title"),
-        F.slice(
-            F.col("_toks"), F.lit(9),
-            F.greatest(F.size(F.col("_toks")) - 8, F.lit(0)),
-        ).alias("body"),
-    )
-    # NO coalesce here: this index is rebuilt per call, so collapsing
-    # the postings would serialize each call's reduce aggregation — the
-    # size-derived coalesce pays off only for the long-lived caches
-    # (measured: +0.7s per call with it)
-    index = build_fielded_index(
-        docs2, [("title", 2.0), ("body", 1.0)], tokenized=True
-    )
+    build_fielded_index (index/build.py). Same scorers, fielded stats;
+    the index is a process-cached ingest artifact like every other
+    surface entry's (r6)."""
+    index = _fielded_index_for(spark, sf_dir)
     return bm25_topk(index, queries_df(spark), k=10).withColumn(
         "rank", F.col("rank").cast("int")
     )
