@@ -19,6 +19,7 @@ Cross-engine hash-match rules applied throughout:
 from __future__ import annotations
 
 from collections.abc import Callable
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -122,8 +123,29 @@ def oracle_sql() -> dict[str, str]:
     return {n: _ORACLE[n] for n in queries() if n in _ORACLE}
 
 
+# Per-session cache of table-scan PLANS (r6): spark.read.parquet costs
+# ~100ms of driver-side file-listing + footer reads per call, which
+# dominated the tiny relational ops (a rel-suite pass makes 10 tbl()
+# calls = ~1.0s of pure metadata re-reads). Caching the analyzed read
+# plan is NOT result caching — every action on the returned frame still
+# scans the parquet inputs; only the repeated driver-side metadata read
+# is skipped, same class as the long-lived index handles. Keyed weakly
+# by the session object so entries die with their session (a restarted
+# session re-lists the files), and the fixture dirs are immutable by
+# the read-only-catalog contract (no entry writes under sf_dir).
+_TBL_PLANS: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_sess = _TBL_PLANS.get(spark)
+    if per_sess is None:
+        per_sess = _TBL_PLANS[spark] = {}
+    df = per_sess.get((sf_dir, name))
+    if df is None:
+        df = per_sess[(sf_dir, name)] = spark.read.parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
+    return df
 
 
 # =====================================================================

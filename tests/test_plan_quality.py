@@ -232,3 +232,19 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tbl_caches_scan_plan_per_session(spark):
+    """tbl() memoizes the analyzed read plan per (session, dir, table):
+    repeat calls return the identical DataFrame (no re-listing, the
+    ~100ms/call driver cost the r6 round removed), distinct tables get
+    distinct plans, and the cached frame returns exactly what a direct
+    fresh read returns (plan reuse, never result caching)."""
+    a = catalog.tbl(spark, SF_DIR, "documents")
+    b = catalog.tbl(spark, SF_DIR, "documents")
+    assert a is b
+    other = catalog.tbl(spark, SF_DIR, "orders")
+    assert other is not a
+    fresh = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert a.schema == fresh.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
