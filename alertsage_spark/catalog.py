@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from alertsage_spark.index.build import build_index
 from alertsage_spark.operators import dedup, similarity, textstats
 from alertsage_spark.query.bm25 import bm25_topk
+from alertsage_spark.session import local_df
 from alertsage_spark.query.refqueries import REFERENCE_QUERIES, queries_df
 from alertsage_spark.tokenizer import duckdb_tokens_sql, tokenize_col
 
@@ -340,7 +341,7 @@ def pipe_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokenize_col(F.col("text"))).alias("key")
     )
     sketch = cms_build(toks, "key")
-    keys = spark.createDataFrame([(k,) for k in _CMS_KEYS], "key string")
+    keys = local_df(spark, [(k,) for k in _CMS_KEYS], "key string")
     est = cms_estimate(sketch, keys)
     exact = toks.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return (
@@ -678,7 +679,8 @@ def ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("t"), F.sum("df").alias("p")
         ).collect()[0]
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(index.n_docs, round(index.avgdl, 6), n_terms, n_postings)],
         "n_docs long, avgdl double, n_terms long, n_postings long",
     )
@@ -862,7 +864,7 @@ def ft_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = bm25_scores(index, query_terms(queries_df(spark))).select(
         "query_id", F.round("score", 6).alias("score")
     )
-    th = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "threshold double")
+    th = local_df(spark, [(t,) for t in _SWEEP_THRESHOLDS], "threshold double")
     return (
         th.crossJoin(scores)
         .groupBy("threshold")
@@ -1703,7 +1705,8 @@ def rel_setops(spark, sf_dir):
     c = tbl(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 a.union(b).distinct().count(),
@@ -2773,7 +2776,7 @@ def ft_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases = [
         (qid, " " + " ".join(tokenize_py(p)) + " ") for qid, p in _PHRASE_QUERIES
     ]
-    pdf = spark.createDataFrame(phrases, "query_id string, needle string")
+    pdf = local_df(spark, phrases, "query_id string, needle string")
     streamed = docs.select(
         "doc_id",
         F.concat(
@@ -3897,7 +3900,7 @@ def ft_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertsage_spark.query.fuzzy import suggest, vocab_variants
 
     index = _rel_index_for(spark, sf_dir)
-    qdf = spark.createDataFrame(_FUZZY_QUERIES, "query_id string, qterm string")
+    qdf = local_df(spark, _FUZZY_QUERIES, "query_id string, qterm string")
     # the SymSpell delete-dictionary is an index artifact (materialized
     # by variant in production) — cache it beside the relational index
     # so the per-call work is the broadcast equi-join, not the
@@ -3960,7 +3963,7 @@ def ft_snippet_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertsage_spark.query.snippet import snippet_topdocs
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    qdf = spark.createDataFrame(_SNIPPET_QUERIES, "query_id string, term string")
+    qdf = local_df(spark, _SNIPPET_QUERIES, "query_id string, term string")
     # candidates + exact occurrence counts from the shared relational
     # index (tf == token-instance count): the corpus is no longer
     # re-tokenized per call, only the <= 9 winning rows meet the text
@@ -4225,7 +4228,7 @@ def ft_term_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = (F.col("term") >= p) & (F.col("term") < hi)
         cond = c if cond is None else (cond | c)
     pruned = index.termstats.filter(cond)
-    pref = spark.createDataFrame(_AUTOCOMPLETE_QUERIES, "query_id string, prefix string")
+    pref = local_df(spark, _AUTOCOMPLETE_QUERIES, "query_id string, prefix string")
     cand = pruned.join(F.broadcast(pref), F.col("term").startswith(F.col("prefix")))
     w = Window.partitionBy("query_id").orderBy(F.col("df").desc(), F.col("term").asc())
     return (

@@ -255,8 +255,10 @@ def lsh_ann_topk_batch(
             qsig_rows.append((qid, t, s))
         qv_rows.append((qid, [float(x) for x in qvec]))
     spark = sigdf.sparkSession
-    qsig = spark.createDataFrame(qsig_rows, "query_id string, tbl int, s long")
-    qv = spark.createDataFrame(qv_rows, "query_id string, qv array<double>")
+    from alertsage_spark.session import local_df
+
+    qsig = local_df(spark, qsig_rows, "query_id string, tbl int, s long")
+    qv = local_df(spark, qv_rows, "query_id string, qv array<double>")
     sig_long = sigdf.select(
         id_col,
         F.inline(

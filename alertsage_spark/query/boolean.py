@@ -54,7 +54,9 @@ def clauses_df(spark, queries: list[tuple[str, dict[str, list[str]]]]) -> DataFr
                     raise ValueError(f"duplicate term {t!r} in query {qid}")
                 seen.add(t)
                 rows.append((qid, t, role))
-    return spark.createDataFrame(rows, "query_id string, term string, role string")
+    from alertsage_spark.session import local_df
+
+    return local_df(spark, rows, "query_id string, term string, role string")
 
 
 def boolean_qualified(index: InvertedIndex, clauses: DataFrame) -> DataFrame:

@@ -99,7 +99,9 @@ def search(
         for toks in p["phrases"]
     ]
     if phrase_rows:
-        pdf = spark.createDataFrame(phrase_rows, "query_id string, needle string")
+        from alertsage_spark.session import local_df
+
+        pdf = local_df(spark, phrase_rows, "query_id string, needle string")
         n_phrases = pdf.groupBy("query_id").agg(F.count("*").alias("n_ph"))
         streamed = docs.select(
             F.col(id_col).alias("doc_id"),

@@ -50,8 +50,13 @@ REFERENCE_QUERIES: list[tuple[str, str, str]] = [
 
 
 def queries_df(spark):
-    """(query_id string, query_text string) DataFrame of the 18 queries."""
-    return spark.createDataFrame(
+    """(query_id string, query_text string) DataFrame of the 18 queries
+    as one Arrow local batch (LocalTableScan — see session.local_df;
+    the list form cost a 32-task scan stage per action/broadcast)."""
+    from alertsage_spark.session import local_df
+
+    return local_df(
+        spark,
         [(cid, text) for cid, _label, text in REFERENCE_QUERIES],
         "query_id string, query_text string",
     )

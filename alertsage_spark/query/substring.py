@@ -101,9 +101,11 @@ def pattern_search(
     if index.mode != "code":
         raise ValueError("pattern_search needs a code-mode index (trigram terms)")
     if isinstance(patterns, list):
+        from alertsage_spark.session import local_df
+
         plist = sorted({p for _q, p in patterns})
-        patterns = docs.sparkSession.createDataFrame(
-            patterns, "query_id string, pattern string"
+        patterns = local_df(
+            docs.sparkSession, patterns, "query_id string, pattern string"
         )
     else:
         # ONE driver action serves both validation and the slice

@@ -15,6 +15,27 @@ from collections import deque
 from pyspark.sql import SparkSession
 
 
+def local_df(spark: SparkSession, rows, schema: str):
+    """Small driver-side literal relation as ONE Arrow local batch.
+
+    ``createDataFrame(list)`` parallelizes even an 18-row query set into
+    a defaultParallelism-task RDD scan: every action pays ~0.3s of pure
+    task scheduling on local[32], and every join/broadcast whose child
+    is the literal relation pays the same stage again. The pandas path
+    plans as a LocalTableScan (~25ms, measured 11x faster to collect)
+    and broadcasts without a scan stage. Schema names/types apply
+    positionally to the row tuples, exactly like createDataFrame(list).
+    Callers pass fixed NON-EMPTY literal sets (an empty pandas frame
+    falls back to the parallelize path, same as an empty list)."""
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:  # empty pandas frames can't carry the schema — keep
+        # the createDataFrame([]) semantics for the degenerate case
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(rows), schema)
+
+
 def spread_small_scan(df, probe=None):
     """Round-robin repartition to defaultParallelism — ONLY when the
     input has fewer partitions (r6): a single-file parquet fixture scans
